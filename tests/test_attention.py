@@ -1,0 +1,90 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vist3a_tpu.kernels.flash_attention import flash_attention
+from vist3a_tpu.ops.attention import _xla_attention, dot_product_attention
+from vist3a_tpu.ops.rope import apply_rope2d, grid_positions, rope2d_cos_sin
+
+
+def _ref_attention(q, k, v, scale=None):
+    d = q.shape[-1]
+    scale = d ** -0.5 if scale is None else scale
+    logits = np.einsum("bnhd,bmhd->bhnm", q, k).astype(np.float64) * scale
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    return np.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+@pytest.mark.parametrize("n,d", [(256, 64), (200, 64), (384, 128)])
+def test_flash_matches_reference(rng, n, d):
+    q = rng.standard_normal((2, n, 3, d)).astype(np.float32)
+    k = rng.standard_normal((2, n, 3, d)).astype(np.float32)
+    v = rng.standard_normal((2, n, 3, d)).astype(np.float32)
+    ref = _ref_attention(q, k, v)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+    out_xla = _xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(out_xla), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_grad_matches_xla(rng):
+    n, d = 192, 64
+    q = jnp.asarray(rng.standard_normal((1, n, 2, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n, 2, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n, 2, d)), dtype=jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v)))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-2)
+
+
+def test_dispatcher_xla_path(rng):
+    q = jnp.asarray(rng.standard_normal((1, 64, 2, 32)), dtype=jnp.float32)
+    out = dot_product_attention(q, q, q, impl="xla")
+    assert out.shape == q.shape
+
+
+def test_rope2d_matches_reference_formula():
+    """Cross-check against a direct port of the reference math
+    (`vggt/layers/rope.py:86-188`) computed in numpy."""
+    D = 64
+    pos = grid_positions(4, 5, special=2)
+    cos, sin = rope2d_cos_sin(pos, D, base=100.0)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, pos.shape[0], D)).astype(np.float32)
+
+    # reference math
+    half = D // 2
+    exponents = np.arange(0, half, 2, dtype=np.float64) / half
+    inv_freq = 1.0 / (100.0 ** exponents)
+    max_pos = pos.max() + 1
+    angles = np.arange(max_pos)[:, None] * inv_freq[None, :]
+    angles = np.concatenate([angles, angles], -1)
+    cos_t, sin_t = np.cos(angles), np.sin(angles)
+
+    def rot(h):
+        h1, h2 = h[..., : half // 2], h[..., half // 2:]
+        return np.concatenate([-h2, h1], -1)
+
+    vert, horiz = x[..., :half], x[..., half:]
+    cy, sy = cos_t[pos[:, 0]], sin_t[pos[:, 0]]
+    cx, sx = cos_t[pos[:, 1]], sin_t[pos[:, 1]]
+    ref = np.concatenate(
+        [vert * cy + rot(vert) * sy, horiz * cx + rot(horiz) * sx], -1
+    )
+
+    out = apply_rope2d(jnp.asarray(x), cos, sin)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    # special tokens (pos 0,0) are unrotated
+    np.testing.assert_allclose(np.asarray(out)[:, :, :2], x[:, :, :2], rtol=1e-6)

@@ -1,0 +1,327 @@
+"""Pallas TPU flash attention (forward + backward).
+
+TPU-native replacement for every fused attention in the reference stack:
+torch SDPA (`vggt/layers/attention.py:64`), xformers
+`memory_efficient_attention` (`heads/head_modules.py:220`), and cuDNN flash.
+
+Design (classic FlashAttention-2 schedule on the Mosaic grid):
+  * grid (B·H, N_q/BQ, N_k/BK); the trailing grid axis iterates sequentially
+    on TPU, so fp32 accumulators in VMEM scratch persist across K blocks of
+    one Q block (online softmax, no N×N materialisation);
+  * logits fp32 on the MXU (`preferred_element_type`), inputs bf16/fp32;
+  * backward = two kernels (dQ over K blocks; dK/dV over Q blocks) using the
+    saved per-row logsumexp, via `jax.custom_vjp`;
+  * ragged sequence lengths are zero-padded to the block size with key-side
+    -inf masking; head_dim 64 (VGGT) is zero-padded to the 128 lane width —
+    padded K/V columns provably contribute nothing.
+
+Sequence lengths here are bounded (≤ ~13.4k tokens for VGGT global
+attention), so no sequence parallelism is needed (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Tuned on TPU v5e at the VGGT global-attention shape (N=13377, H=16, D=64):
+# 1024/1024 → 12.6 ms/iter vs 46 ms for the fused-XLA path (3.7×).
+DEFAULT_BQ = 1024
+DEFAULT_BK = 1024
+_NEG_INF = -1e30
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _pad_to(x, n, axis):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, pad)
+    return jnp.pad(x, cfg)
+
+
+# --------------------------------------------------------------------------- #
+# forward                                                                     #
+# --------------------------------------------------------------------------- #
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *,
+                scale: float, n_k: int, bk: int):
+    j = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    # mask padded keys
+    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < n_k, s, _NEG_INF)
+
+    m_prev = m_s[:, 0:1]                                 # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)           # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                      # (BQ, 1)
+    p = jnp.exp(s - m_new)                               # (BQ, BK)
+
+    l_s[:, 0:1] = l_s[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_s[:, 0:1] = m_new
+    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == nkb - 1)
+    def _():
+        l = l_s[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc[:] / safe_l).astype(o_ref.dtype)
+        # lse stored as 128 identical lanes: keeps the block tile-aligned
+        lse = m_s[:, 0:1] + jnp.log(safe_l)  # (BQ, 1)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
+
+
+def _flash_fwd(q, k, v, scale, bq, bk, interpret):
+    """q,k,v: (BH, N, D) padded to block/lane multiples. Returns (o, lse)."""
+    bh, n_q, d = q.shape
+    n_k = k.shape[1]
+    n_qp = _cdiv(n_q, bq) * bq
+    n_kp = _cdiv(n_k, bk) * bk
+    qp = _pad_to(q, n_qp, 1)
+    kp = _pad_to(k, n_kp, 1)
+    vp = _pad_to(v, n_kp, 1)
+
+    grid = (bh, n_qp // bq, n_kp // bk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, n_k=n_k, bk=bk)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_qp, 128), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq, d), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return o[:, :n_q], lse[:, :n_q]
+
+
+# --------------------------------------------------------------------------- #
+# backward                                                                    #
+# --------------------------------------------------------------------------- #
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+               dq_acc, *, scale: float, n_k: int, bk: int):
+    j = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < n_k, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, 0:1])                         # (BQ, BK)
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, 0:1])                        # fp32
+    dq_acc[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(j == nkb - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
+                n_k: int, bk: int):
+    i = pl.program_id(2)   # q-block index (trailing, sequential)
+    nqb = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    j = pl.program_id(1)
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                                                    # (BQ, BK)
+    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(k_idx < n_k, s, _NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, 0:1])
+    do = do_ref[0]
+    dv_acc[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta_ref[0][:, 0:1])
+    dk_acc[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(i == nqb - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(scale, bq, bk, interpret, residuals, g):
+    q, k, v, o, lse = residuals
+    bh, n_q, d = q.shape
+    n_k = k.shape[1]
+    n_qp = _cdiv(n_q, bq) * bq
+    n_kp = _cdiv(n_k, bk) * bk
+
+    delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+
+    qp, dop = _pad_to(q, n_qp, 1), _pad_to(g, n_qp, 1)
+    kp, vp = _pad_to(k, n_kp, 1), _pad_to(v, n_kp, 1)
+    # lse/delta carried as 128 identical lanes (tile-aligned); padded q rows
+    # get lse=+inf so p = exp(s - inf) = 0 and contribute nothing to dK/dV.
+    lsep = _pad_to(lse, n_qp, 1)
+    if n_qp > n_q:
+        lsep = lsep.at[:, n_q:].set(jnp.inf)
+    deltap = jnp.broadcast_to(_pad_to(delta, n_qp, 1)[:, :, None], (bh, n_qp, 128))
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+        pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+        pl.BlockSpec((1, bq, 128), lambda b, i, j: (b, i, 0)),
+    ]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, n_k=n_k, bk=bk),
+        grid=(bh, n_qp // bq, n_kp // bk),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0))],
+        out_shape=[jax.ShapeDtypeStruct((bh, n_qp, d), q.dtype)],
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)[0]
+
+    # dK/dV: grid puts the K block on axis 1 (parallel) and sweeps Q blocks
+    # on the trailing sequential axis so the accumulators persist.
+    dkv_specs = [
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        pl.BlockSpec((1, bq, d), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+        pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, n_k=n_k, bk=bk),
+        grid=(bh, n_kp // bk, n_qp // bq),
+        in_specs=dkv_specs,
+        out_specs=[
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, bk, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, n_kp, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_kp, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, dop, lsep, deltap)
+
+    return dq[:, :n_q], dk[:, :n_k], dv[:, :n_k]
+
+
+# --------------------------------------------------------------------------- #
+# public entry                                                                #
+# --------------------------------------------------------------------------- #
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_core(q, k, v, scale, bq, bk, interpret):
+    o, _ = _flash_fwd(q, k, v, scale, bq, bk, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, scale, bq, bk, interpret):
+    o, lse = _flash_fwd(q, k, v, scale, bq, bk, interpret)
+    return o, (q, k, v, o, lse)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    block_q: int = DEFAULT_BQ,
+    block_k: int = DEFAULT_BK,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Flash attention over (B, N, H, D) tensors (non-causal, full).
+
+    Pads D to the 128-lane width and N to the block size; both paddings are
+    mathematically inert (masked keys, zero feature columns).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n_q, h, d = q.shape
+    n_k = k.shape[1]
+    scale = d ** -0.5 if scale is None else scale
+
+    d_pad = max(128, _cdiv(d, 128) * 128)
+    bq = min(block_q, _cdiv(n_q, 128) * 128)
+    bk = min(block_k, _cdiv(n_k, 128) * 128)
+
+    def to_bh(x, n):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)
+        return _pad_to(x, d_pad, 2) if d_pad != d else x
+
+    o = _flash_core(to_bh(q, n_q), to_bh(k, n_k), to_bh(v, n_k),
+                    scale, bq, bk, interpret)
+    o = o[..., :d].reshape(b, h, n_q, d)
+    return jnp.swapaxes(o, 1, 2)
