@@ -1,0 +1,209 @@
+"""VGGT aggregator: alternating frame/global attention trunk.
+
+Behavioral spec: `vggt/models/aggregator.py` —
+  * DINOv2 ViT-L/14 patch tokens (post final-norm) + dual camera/register
+    special tokens (slot 0 for the first frame, slot 1 for the rest,
+    `slice_expand_and_flatten`, :376-399);
+  * 24 layer pairs: frame attention over (B·S, P, C), then global attention
+    over (B, S·P, C); blocks have QK-norm, LayerScale 0.01, 2-D RoPE
+    (freq 100) with special tokens pinned at position (0,0);
+  * taps: concat(frame_out, global_out) → (B,S,P,2C) at layers
+    {4,11,17,23}; the last tap (layer 23) also feeds the camera head.
+
+TPU design: one `lax.scan` body covers a frame+global pair; taps are scan
+segment boundaries (free); per-pair remat mirrors the reference's per-block
+torch checkpointing.  Input images are expected in [0,1]; ImageNet
+normalisation happens here (`aggregator.py:227-228`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vist3a_tpu.nn import vit as vit_mod
+from vist3a_tpu.nn.layers import (
+    BlockConfig,
+    block_apply,
+    slice_stack,
+    stack_init,
+    take_layer,
+)
+from vist3a_tpu.ops.rope import grid_positions, rope2d_cos_sin
+
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+NUM_SPECIAL = 5  # 1 camera + 4 register tokens
+DEFAULT_TAPS = (4, 11, 17, 23)
+
+
+@dataclasses.dataclass(frozen=True)
+class AggregatorConfig:
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_register_tokens: int = 4
+    patch_size: int = 14
+    rope_freq: float = 100.0
+    taps: Sequence[int] = DEFAULT_TAPS
+    attn_impl: str = "auto"
+
+    def block_config(self) -> BlockConfig:
+        return BlockConfig(
+            dim=self.embed_dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            qk_norm=True,
+            ln_eps=1e-5,         # torch LayerNorm default in aggregator blocks
+            layerscale=0.01,
+            use_rope=self.rope_freq > 0,
+            attn_impl=self.attn_impl,
+        )
+
+    @property
+    def patch_start_idx(self) -> int:
+        return 1 + self.num_register_tokens
+
+
+def init(key: jax.Array, cfg: AggregatorConfig = AggregatorConfig(),
+         dtype=jnp.float32) -> dict:
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    return {
+        "camera_token": 1e-6 * jax.random.normal(k1, (1, 2, 1, cfg.embed_dim), dtype),
+        "register_token": 1e-6 * jax.random.normal(
+            k2, (1, 2, cfg.num_register_tokens, cfg.embed_dim), dtype
+        ),
+        "frame_blocks": stack_init(k3, cfg.block_config(), cfg.depth, dtype),
+        "global_blocks": stack_init(k4, cfg.block_config(), cfg.depth, dtype),
+    }
+
+
+def expand_special_tokens(tok: jnp.ndarray, b: int, s: int) -> jnp.ndarray:
+    """(1, 2, X, C): slot 0 → first frame, slot 1 → remaining S-1 frames;
+    returns (B·S, X, C) (`aggregator.py:376-399`)."""
+    first = jnp.broadcast_to(tok[:, 0:1], (b, 1, *tok.shape[2:]))
+    rest = jnp.broadcast_to(tok[:, 1:2], (b, s - 1, *tok.shape[2:]))
+    return jnp.concatenate([first, rest], axis=1).reshape(b * s, *tok.shape[2:])
+
+
+def rope_tables(cfg: AggregatorConfig, grid_h: int, grid_w: int, n_frames: int):
+    """Precompute fused cos/sin for frame (P tokens) and global (S·P) attention."""
+    head_dim = cfg.embed_dim // cfg.num_heads
+    pos = grid_positions(grid_h, grid_w, special=cfg.patch_start_idx)
+    cos, sin = rope2d_cos_sin(pos, head_dim, cfg.rope_freq)
+    cos_g = jnp.tile(cos, (n_frames, 1))
+    sin_g = jnp.tile(sin, (n_frames, 1))
+    return (cos, sin), (cos_g, sin_g)
+
+
+def _layer_pair(frame_p, global_p, tokens, blk_cfg, rope_f, rope_g):
+    """One frame-attention + global-attention pair.  tokens: (B,S,P,C)."""
+    b, s, p, c = tokens.shape
+    x = tokens.reshape(b * s, p, c)
+    x = block_apply(frame_p, x, blk_cfg, *rope_f)
+    frame_out = x.reshape(b, s, p, c)
+    xg = frame_out.reshape(b, s * p, c)
+    xg = block_apply(global_p, xg, blk_cfg, *rope_g)
+    return xg.reshape(b, s, p, c), frame_out
+
+
+def run_trunk(
+    params: dict,
+    tokens: jnp.ndarray,
+    cfg: AggregatorConfig,
+    grid_hw: tuple[int, int],
+    *,
+    start_layer: int = 0,
+    remat: bool = True,
+):
+    """Run aggregator layers [start_layer, depth) over (B,S,P,C) tokens.
+
+    Returns (final_tokens, taps) where taps is a list of (B,S,P,2C) arrays —
+    concat(frame_out, global_out) at each tap layer ≥ start_layer.
+    `start_layer` supports nothing here (the full model always uses 0) but
+    keeps symmetry with the chopped stitched path.
+    """
+    blk_cfg = cfg.block_config()
+    b, s, p, c = tokens.shape
+    rope_f, rope_g = rope_tables(cfg, *grid_hw, n_frames=s)
+
+    def pair_fn(fp, gp, tok):
+        return _layer_pair(fp, gp, tok, blk_cfg, rope_f, rope_g)
+
+    pair_scan = jax.checkpoint(pair_fn) if remat else pair_fn
+
+    def scan_segment(tok, lo, hi):
+        """Layers [lo, hi) without taps, as one scan."""
+        if hi <= lo:
+            return tok
+        fb = slice_stack(params["frame_blocks"], lo, hi)
+        gb = slice_stack(params["global_blocks"], lo, hi)
+
+        def body(carry, layer_params):
+            fp, gp = layer_params
+            out, _ = pair_scan(fp, gp, carry)
+            return out, None
+
+        tok, _ = jax.lax.scan(body, tok, (fb, gb))
+        return tok
+
+    taps = [t for t in sorted(cfg.taps) if t >= start_layer]
+    outs = []
+    cur = start_layer
+    for t in taps:
+        tokens = scan_segment(tokens, cur, t)
+        # tap layer applied explicitly to capture frame/global halves
+        fp = take_layer(params["frame_blocks"], t)
+        gp = take_layer(params["global_blocks"], t)
+        tokens, frame_out = pair_scan(fp, gp, tokens)
+        outs.append(jnp.concatenate([frame_out, tokens], axis=-1))
+        cur = t + 1
+    tokens = scan_segment(tokens, cur, cfg.depth)
+    return tokens, outs
+
+
+def forward(
+    agg_params: dict,
+    vit_params: dict,
+    images: jnp.ndarray,
+    cfg: AggregatorConfig = AggregatorConfig(),
+    vit_cfg: vit_mod.ViTConfig = vit_mod.VIT_LARGE,
+    *,
+    remat: bool = True,
+):
+    """Full aggregator: images (B,S,3,H,W) in [0,1] → (taps, patch_start_idx).
+
+    taps: list of 4 arrays (B,S,P,2C) at layers {4,11,17,23}; taps[-1] also
+    serves as the camera-head input (reference keeps a 5th duplicate entry
+    for layer 23 — callers here just reuse taps[-1]).
+    """
+    b, s, _, h, w = images.shape
+    mean = jnp.asarray(_IMAGENET_MEAN, images.dtype).reshape(1, 1, 3, 1, 1)
+    std = jnp.asarray(_IMAGENET_STD, images.dtype).reshape(1, 1, 3, 1, 1)
+    images = (images - mean) / std
+
+    flat = images.reshape(b * s, 3, h, w)
+    patch_tokens = vit_mod.forward_features(vit_params, flat, vit_cfg,
+                                            remat=remat)["patch"]
+
+    cam = expand_special_tokens(params_dtype(agg_params["camera_token"],
+                                             patch_tokens.dtype), b, s)
+    reg = expand_special_tokens(params_dtype(agg_params["register_token"],
+                                             patch_tokens.dtype), b, s)
+    tokens = jnp.concatenate([cam, reg, patch_tokens], axis=1)
+    p = tokens.shape[1]
+    tokens = tokens.reshape(b, s, p, -1)
+
+    grid_hw = (h // cfg.patch_size, w // cfg.patch_size)
+    _, taps = run_trunk(agg_params, tokens, cfg, grid_hw, remat=remat)
+    return taps, cfg.patch_start_idx
+
+
+def params_dtype(x, dtype):
+    return x.astype(dtype)
