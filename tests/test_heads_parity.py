@@ -1,0 +1,237 @@
+"""Numerical parity of heads/geometry vs the ACTUAL reference torch modules
+(loaded read-only from /root/reference via tests/ref_loader.py), with weights
+transferred through the production importer (vist3a_tpu/io/weight_import.py).
+"""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, str(Path(__file__).parent))
+import ref_loader
+
+from vist3a_tpu.io import weight_import as wi
+from vist3a_tpu.nn import geometry as geo
+from vist3a_tpu.nn import heads as H
+from vist3a_tpu.nn.gaussians import unified_gaussian_adapter
+
+if not ref_loader.available():
+    pytest.skip("reference not mounted", allow_module_level=True)
+
+ref_loader.setup()
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _randomize(module, seed=0):
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in module.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.02)
+    return module
+
+
+# --------------------------------------------------------------------------- #
+# geometry                                                                    #
+# --------------------------------------------------------------------------- #
+def test_quat_and_pose_encoding_match_reference():
+    rot = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.utils.rotation")
+    pe = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.utils.pose_enc")
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 5, 4)).astype(np.float32)
+    ref_m = rot.quat_to_mat(torch.from_numpy(q)).numpy()
+    out_m = np.asarray(geo.quat_to_mat(jnp.asarray(q)))
+    np.testing.assert_allclose(out_m, ref_m, rtol=1e-5, atol=1e-5)
+
+    # round trip through mat_to_quat (sign-canonicalized comparison)
+    qn = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    m = rot.quat_to_mat(torch.from_numpy(qn)).numpy()
+    back = np.asarray(geo.mat_to_quat(jnp.asarray(m)))
+    sign = np.sign(np.sum(back * qn, axis=-1, keepdims=True))
+    np.testing.assert_allclose(back * sign, qn, rtol=1e-4, atol=1e-4)
+
+    # pose encoding → extrinsics/intrinsics
+    enc = rng.standard_normal((2, 5, 9)).astype(np.float32)
+    enc[..., 7:] = np.abs(enc[..., 7:])  # fov positive
+    ref_e, ref_i = pe.pose_encoding_to_extri_intri(torch.from_numpy(enc), (448, 448))
+    out_e, out_i = geo.pose_encoding_to_extri_intri(jnp.asarray(enc), (448, 448))
+    np.testing.assert_allclose(np.asarray(out_e), ref_e.numpy(), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_i), ref_i.numpy(), rtol=1e-3, atol=1e-3)
+
+
+def test_unproject_matches_reference():
+    g = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.utils.geometry")
+    rng = np.random.default_rng(1)
+    depth = np.abs(rng.standard_normal((1, 2, 8, 8))).astype(np.float32) + 0.5
+    # valid extrinsics from random rotations
+    from scipy.spatial.transform import Rotation
+    r = Rotation.random(2, random_state=0).as_matrix().astype(np.float32)
+    t = rng.standard_normal((2, 3, 1)).astype(np.float32)
+    extr = np.concatenate([r, t], -1)[None]
+    intr = np.tile(np.array([[[100.0, 0, 4], [0, 100, 4], [0, 0, 1]]],
+                            np.float32), (2, 1, 1))[None]
+    ref = g.batchify_unproject_depth_map_to_point_map(
+        torch.from_numpy(depth), torch.from_numpy(extr), torch.from_numpy(intr)
+    ).numpy()
+    out = np.asarray(geo.unproject_depth(jnp.asarray(depth), jnp.asarray(extr),
+                                         jnp.asarray(intr)))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- #
+# resize / pos-embed building blocks                                          #
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("size", [(14, 14), (9, 13), (64, 64)])
+def test_align_corners_resize_matches_torch(size):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 7, 11)).astype(np.float32)
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(x), size=size, mode="bilinear", align_corners=True
+    ).numpy()
+    out = np.asarray(H.resize_bilinear_align_corners(jnp.asarray(x), size))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_conv_transpose_matches_torch():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, 4, 5, 5)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose2d(4, 6, 4, stride=4)
+    sd = {k: v.detach().numpy() for k, v in tconv.state_dict().items()}
+    params = {"kernel": jnp.asarray(sd["weight"]), "bias": jnp.asarray(sd["bias"])}
+    ref = tconv(torch.from_numpy(x)).detach().numpy()
+    out = np.asarray(H.conv_transpose2d(params, jnp.asarray(x), stride=4))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_uv_pos_embed_matches_reference():
+    u = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.heads.utils")
+    grid = u.create_uv_grid(8, 6, aspect_ratio=448 / 448)
+    ref = u.position_grid_to_embed(grid, 64).permute(2, 0, 1).numpy()
+    x = jnp.zeros((1, 64, 6, 8))
+    out = np.asarray(H.apply_uv_pos_embed(x, 448, 448, ratio=1.0))[0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------- #
+# full heads                                                                  #
+# --------------------------------------------------------------------------- #
+def test_dpt_depth_head_parity():
+    dpt = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.heads.dpt_head")
+    torch.manual_seed(0)
+    ref_head = dpt.DPTHead(dim_in=64, patch_size=14, output_dim=2,
+                           activation="exp", conf_activation="expp1",
+                           features=16, out_channels=[8, 12, 16, 16])
+    _randomize(ref_head)
+    cfg = H.DPTConfig(dim_in=64, output_dim=2, features=16,
+                      out_channels=(8, 12, 16, 16), activation="exp")
+    params = wi.import_dpt_head(_sd(ref_head), prefix="")
+
+    b, s, hw = 1, 2, 28
+    ph = hw // 14
+    p_tok = 5 + ph * ph
+    rng = np.random.default_rng(0)
+    taps = [rng.standard_normal((b, s, p_tok, 64)).astype(np.float32)
+            for _ in range(4)]
+    images = rng.random((b, s, 3, hw, hw)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_preds, ref_conf = ref_head(
+            [torch.from_numpy(t) for t in taps],
+            torch.from_numpy(images), patch_start_idx=5)
+
+    preds, conf = H.dpt_apply(params, [jnp.asarray(t) for t in taps],
+                              (hw, hw), 5, cfg, (b, s))
+    np.testing.assert_allclose(np.asarray(preds), ref_preds.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(conf), ref_conf.numpy(),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_gs_head_parity():
+    gsm = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.heads.vggt_dpt_gs_head")
+    torch.manual_seed(0)
+    # features=256 is structural: the reference hardcodes the 128-ch RGB merge
+    ref_head = gsm.VGGT_DPT_GS_Head(dim_in=64, patch_size=(14, 14), output_dim=84,
+                                    features=256, out_channels=[8, 12, 16, 16])
+    _randomize(ref_head, seed=1)
+    cfg = H.GSHeadConfig(dim_in=64, features=256, out_channels=(8, 12, 16, 16))
+    params = wi.import_gs_head(_sd(ref_head), prefix="")
+
+    b, s, hw = 1, 2, 28
+    p_tok = 5 + 4
+    rng = np.random.default_rng(0)
+    taps = [rng.standard_normal((b, s, p_tok, 64)).astype(np.float32)
+            for _ in range(4)]
+    images = rng.random((b, s, 3, hw, hw)).astype(np.float32)
+    depths = rng.random((b * s, 3, hw, hw)).astype(np.float32)
+
+    with torch.no_grad():
+        ref_out = ref_head([torch.from_numpy(t) for t in taps],
+                           torch.from_numpy(depths), torch.from_numpy(images),
+                           patch_start_idx=5, image_size=(hw, hw))
+    out = H.gs_head_apply(params, [jnp.asarray(t) for t in taps],
+                          jnp.asarray(images), 5, cfg)
+    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                               rtol=2e-3, atol=5e-3)
+
+
+def test_camera_head_parity():
+    cam = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.vggt.heads.camera_head")
+    torch.manual_seed(0)
+    ref_head = cam.CameraHead(dim_in=64, trunk_depth=2, num_heads=4)
+    _randomize(ref_head, seed=2)
+    cfg = H.CameraHeadConfig(dim_in=64, trunk_depth=2, num_heads=4)
+    params = wi.import_camera_head(_sd(ref_head), prefix="")
+
+    rng = np.random.default_rng(0)
+    tap = rng.standard_normal((2, 3, 9, 64)).astype(np.float32)
+    with torch.no_grad():
+        ref_list = ref_head([torch.from_numpy(tap)])
+    out_list = H.camera_head_apply(params, jnp.asarray(tap), cfg)
+    assert len(out_list) == len(ref_list) == 4
+    for o, r in zip(out_list, ref_list):
+        np.testing.assert_allclose(np.asarray(o), r.numpy(), rtol=2e-3, atol=2e-3)
+
+
+def test_gaussian_adapter_parity():
+    ga = ref_loader.load(
+        "third_party_model.anysplat.src.model.encoder.common.gaussian_adapter")
+    from dataclasses import dataclass
+
+    cfg = ga.GaussianAdapterCfg(gaussian_scale_min=0.5, gaussian_scale_max=15.0,
+                                sh_degree=4)
+    adapter = ga.UnifiedGaussianAdapter(cfg)
+    rng = np.random.default_rng(0)
+    n = 17
+    means = rng.standard_normal((1, n, 3)).astype(np.float32)
+    depths = np.abs(rng.standard_normal((1, n, 1))).astype(np.float32)
+    opac = rng.random((1, n)).astype(np.float32)
+    raw = rng.standard_normal((1, n, 82)).astype(np.float32)
+
+    ref_g = adapter.forward(torch.from_numpy(means), torch.from_numpy(depths),
+                            torch.from_numpy(opac), torch.from_numpy(raw))
+    out = unified_gaussian_adapter(jnp.asarray(means), jnp.asarray(opac),
+                                   jnp.asarray(raw), sh_degree=4)
+    np.testing.assert_allclose(np.asarray(out.means), ref_g.means.numpy(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.covariances),
+                               ref_g.covariances.numpy(), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.harmonics),
+                               ref_g.harmonics.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.scales), ref_g.scales.numpy(),
+                               rtol=1e-5, atol=1e-7)

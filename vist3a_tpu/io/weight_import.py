@@ -1,0 +1,170 @@
+"""Torch-checkpoint → JAX param-tree import.
+
+Maps the reference state_dict layouts (VGGT-1B / AnySplat / Wan diffusers /
+`anysplat_stitched.pth`) onto this framework's pytrees:
+
+  * torch ``nn.Linear`` weight (out,in) → ``{"w": (in,out)}`` (transposed),
+  * torch convs keep their OIHW / (I,O,kh,kw) layouts (our conv helpers use
+    torch layouts natively),
+  * ``LayerNorm.weight/bias`` → ``{"scale","bias"}``,
+  * per-layer blocks ``blocks.{i}.*`` → one stacked pytree (leading layer
+    axis) for `lax.scan`.
+
+Input is a flat ``dict[str, np.ndarray]`` (load .pt/.safetensors on host,
+convert tensors with ``.numpy()``).  No torch dependency here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _t(sd, key):
+    return jnp.asarray(np.asarray(sd[key]))
+
+
+def _linear(sd, prefix):
+    p = {"w": jnp.asarray(np.asarray(sd[f"{prefix}.weight"]).T)}
+    if f"{prefix}.bias" in sd:
+        p["b"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
+def _conv(sd, prefix):
+    p = {"kernel": _t(sd, f"{prefix}.weight")}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
+def _ln(sd, prefix):
+    return {"scale": _t(sd, f"{prefix}.weight"), "bias": _t(sd, f"{prefix}.bias")}
+
+
+def import_block(sd, prefix: str) -> dict:
+    """One transformer Block (`vggt/layers/block.py`)."""
+    p = {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _linear(sd, f"{prefix}.attn.qkv"),
+            "proj": _linear(sd, f"{prefix}.attn.proj"),
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _linear(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+    if f"{prefix}.attn.q_norm.weight" in sd:
+        p["attn"]["q_norm"] = _ln(sd, f"{prefix}.attn.q_norm")
+        p["attn"]["k_norm"] = _ln(sd, f"{prefix}.attn.k_norm")
+    if f"{prefix}.ls1.gamma" in sd:
+        p["ls1"] = {"gamma": _t(sd, f"{prefix}.ls1.gamma")}
+        p["ls2"] = {"gamma": _t(sd, f"{prefix}.ls2.gamma")}
+    return p
+
+
+def stack_blocks(blocks: list[dict]) -> dict:
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def _block_indices(sd, prefix: str) -> list[int]:
+    idx = set()
+    for k in sd:
+        if k.startswith(prefix):
+            rest = k[len(prefix):]
+            idx.add(int(rest.split(".")[0]))
+    return sorted(idx)
+
+
+def import_vit(sd, prefix: str = "") -> dict:
+    """DINOv2 trunk (`vision_transformer.py`); prefix e.g.
+    'aggregator.patch_embed.'."""
+    p = prefix
+    blocks = [import_block(sd, f"{p}blocks.{i}")
+              for i in _block_indices(sd, f"{p}blocks.")]
+    return {
+        "patch_proj": _conv(sd, f"{p}patch_embed.proj"),
+        "cls_token": _t(sd, f"{p}cls_token"),
+        "register_tokens": _t(sd, f"{p}register_tokens"),
+        "mask_token": _t(sd, f"{p}mask_token"),
+        "pos_embed": _t(sd, f"{p}pos_embed"),
+        "blocks": stack_blocks(blocks),
+        "norm": _ln(sd, f"{p}norm"),
+    }
+
+
+def import_aggregator(sd, prefix: str = "aggregator.") -> dict:
+    p = prefix
+    frame = [import_block(sd, f"{p}frame_blocks.{i}")
+             for i in _block_indices(sd, f"{p}frame_blocks.")]
+    glob = [import_block(sd, f"{p}global_blocks.{i}")
+            for i in _block_indices(sd, f"{p}global_blocks.")]
+    return {
+        "camera_token": _t(sd, f"{p}camera_token"),
+        "register_token": _t(sd, f"{p}register_token"),
+        "frame_blocks": stack_blocks(frame),
+        "global_blocks": stack_blocks(glob),
+    }
+
+
+def import_camera_head(sd, prefix: str = "camera_head.") -> dict:
+    p = prefix
+    trunk = [import_block(sd, f"{p}trunk.{i}")
+             for i in _block_indices(sd, f"{p}trunk.")]
+    return {
+        "trunk": stack_blocks(trunk),
+        "token_norm": _ln(sd, f"{p}token_norm"),
+        "trunk_norm": _ln(sd, f"{p}trunk_norm"),
+        "empty_pose_tokens": _t(sd, f"{p}empty_pose_tokens"),
+        "embed_pose": _linear(sd, f"{p}embed_pose"),
+        # poseLN_modulation = Sequential(SiLU, Linear) → index 1
+        "modulation": _linear(sd, f"{p}poseLN_modulation.1"),
+        "pose_branch": {
+            "fc1": _linear(sd, f"{p}pose_branch.fc1"),
+            "fc2": _linear(sd, f"{p}pose_branch.fc2"),
+        },
+    }
+
+
+def import_dpt_head(sd, prefix: str = "depth_head.") -> dict:
+    """DPTHead (`vggt/heads/dpt_head.py`); also the base of the GS head."""
+    p = prefix
+    params = {
+        "norm": _ln(sd, f"{p}norm"),
+        "projects": [_conv(sd, f"{p}projects.{i}") for i in range(4)],
+        "resize0": _conv(sd, f"{p}resize_layers.0"),
+        "resize1": _conv(sd, f"{p}resize_layers.1"),
+        "resize3": _conv(sd, f"{p}resize_layers.3"),
+        "layer_rn": [_conv(sd, f"{p}scratch.layer{i + 1}_rn") for i in range(4)],
+        "output_conv1": _conv(sd, f"{p}scratch.output_conv1"),
+        "output_conv2": [
+            _conv(sd, f"{p}scratch.output_conv2.0"),
+            _conv(sd, f"{p}scratch.output_conv2.2"),
+        ],
+    }
+    for n in (1, 2, 3, 4):
+        rn = f"{p}scratch.refinenet{n}"
+        fp = {
+            "res2": {
+                "conv1": _conv(sd, f"{rn}.resConfUnit2.conv1"),
+                "conv2": _conv(sd, f"{rn}.resConfUnit2.conv2"),
+            },
+            "out_conv": _conv(sd, f"{rn}.out_conv"),
+        }
+        if f"{rn}.resConfUnit1.conv1.weight" in sd:
+            fp["res1"] = {
+                "conv1": _conv(sd, f"{rn}.resConfUnit1.conv1"),
+                "conv2": _conv(sd, f"{rn}.resConfUnit1.conv2"),
+            }
+        params[f"refinenet{n}"] = fp
+    return params
+
+
+def import_gs_head(sd, prefix: str = "gaussian_param_head.") -> dict:
+    params = import_dpt_head(sd, prefix)
+    params["input_merger"] = _conv(sd, f"{prefix}input_merger.0")
+    return params
