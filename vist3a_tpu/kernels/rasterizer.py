@@ -1,0 +1,567 @@
+"""Pallas TPU 3D Gaussian Splatting rasterizer (forward + backward).
+
+TPU-native replacement for the CUDA `gsplat.rasterization` call used by the
+reference at `src/model/decoder/decoder_splatting_cuda.py:92-111` with the
+deployed argument set: `render_mode="RGB+D"`, explicit covariances,
+`rasterize_mode="classic"` (0.3-px dilation, no opacity compensation),
+`near_plane=1e-10`, `radius_clip=0.1`, background color, alpha output.
+
+Design (no warp primitives on TPU, so no per-pixel sorted scatter):
+  1. XLA, differentiable: project all Gaussians (camera transform, J Σ Jᵀ 2D
+     covariance + eps2d·I dilation, conic, 3σ radius), evaluate spherical
+     harmonics → RGB.
+  2. XLA, non-differentiable (discrete): build (gaussian, tile) pairs with a
+     static pair budget via cumsum/marker indexing, one `lax.sort` by
+     (tile, depth), then re-scatter each tile's segment to chunk-padded
+     positions so every pair-chunk lies in exactly one tile.
+  3. Pallas, custom VJP: ragged grouped composite. Grid iterates pair-chunks;
+     a scalar-prefetched `chunk→tile` map selects the (revisited) output
+     block, so fp32 accumulators persist in VMEM across all chunks of one
+     tile.  Within a chunk the front-to-back alpha-compositing is fully
+     vectorized: α for (256 px × C pairs) on the VPU, transmittance via a
+     log-space cumulative sum, and the accumulation `Σ αT·[r,g,b,z,1]` as a
+     single MXU matmul.  The backward kernel re-walks chunks in FORWARD
+     order using a prefix-sum identity (suffix_i = total − prefix_i), so it
+     needs neither reverse traversal nor the numerically delicate T-division
+     of the CUDA backward.
+
+Semantics matched to gsplat "classic" (tolerances aside): pixel centers at
++0.5, α = min(0.999, o·exp(−σ)) with σ<0 and α<1/255 skips, per-pixel stop
+*before* the Gaussian that would push T below 1e-4, accumulated (not
+normalized) depth for the +D channel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 16            # pixels per tile side (16×16 = 256 px, gsplat's tile)
+PIX = TILE * TILE
+CHUNK = 128          # pairs per grid step (lane width)
+ATTR_ROWS = 16       # attrs row-padded to a sublane multiple
+ALPHA_CLAMP = 0.999
+ALPHA_MIN = 1.0 / 255.0
+T_EPS = 1e-4
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------- #
+# 1. projection + SH (XLA, differentiable)                                    #
+# --------------------------------------------------------------------------- #
+class Projected(NamedTuple):
+    mean2d: jnp.ndarray   # (G, 2) pixel coords
+    conic: jnp.ndarray    # (G, 3) upper-tri inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray    # (G,) camera-space z
+    radius: jnp.ndarray   # (G,) screen-space 3σ radius, px
+    valid: jnp.ndarray    # (G,) bool
+
+
+def project_gaussians(
+    means, covars, viewmat, K, width, height,
+    *, eps2d=0.3, near_plane=1e-10, far_plane=1e10, radius_clip=0.1,
+):
+    """Perspective-project 3D Gaussians (parity: gsplat fully_fused_projection,
+    classic mode; reference call `decoder_splatting_cuda.py:92-111`)."""
+    f32 = jnp.float32
+    means, covars = means.astype(f32), covars.astype(f32)
+    R, t = viewmat[:3, :3].astype(f32), viewmat[:3, 3].astype(f32)
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    p_cam = means @ R.T + t                                   # (G, 3)
+    tz = p_cam[:, 2]
+    tz_safe = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
+    rz = 1.0 / tz_safe
+
+    # fov-clamped x/z, y/z for the Jacobian (INRIA/gsplat 1.3·tan_fov guard)
+    lim_x = 1.3 * (0.5 * width / fx)
+    lim_y = 1.3 * (0.5 * height / fy)
+    txz = jnp.clip(p_cam[:, 0] * rz, -lim_x, lim_x)
+    tyz = jnp.clip(p_cam[:, 1] * rz, -lim_y, lim_y)
+
+    cov_cam = jnp.einsum("ij,gjk,lk->gil", R, covars, R,
+                         precision="highest")                 # (G, 3, 3)
+    # J = [[fx/z, 0, -fx·x/z²], [0, fy/z, -fy·y/z²]] folded analytically:
+    j00 = fx * rz
+    j11 = fy * rz
+    j02 = -fx * txz * rz
+    j12 = -fy * tyz * rz
+    c00, c01, c02 = cov_cam[:, 0, 0], cov_cam[:, 0, 1], cov_cam[:, 0, 2]
+    c11, c12, c22 = cov_cam[:, 1, 1], cov_cam[:, 1, 2], cov_cam[:, 2, 2]
+    sxx = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22)
+    syy = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22)
+    sxy = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
+    sxx = sxx + eps2d
+    syy = syy + eps2d
+
+    det = sxx * syy - sxy * sxy
+    det_safe = jnp.where(det <= 0, 1.0, det)
+    conic = jnp.stack([syy / det_safe, -sxy / det_safe, sxx / det_safe], -1)
+
+    mean2d = jnp.stack([fx * p_cam[:, 0] * rz + cx,
+                        fy * p_cam[:, 1] * rz + cy], -1)
+
+    mid = 0.5 * (sxx + syy)
+    v1 = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.01))
+    radius = jnp.ceil(3.0 * jnp.sqrt(v1))
+
+    inside = (
+        (mean2d[:, 0] + radius > 0) & (mean2d[:, 0] - radius < width)
+        & (mean2d[:, 1] + radius > 0) & (mean2d[:, 1] - radius < height)
+    )
+    valid = (tz > near_plane) & (tz < far_plane) & (det > 0) \
+        & (radius > radius_clip) & inside
+    return Projected(mean2d, conic, tz, radius, valid)
+
+
+# gsplat sh.cuh real SH basis constants, degrees 0..4.
+_SH_C0 = 0.28209479177387814
+_SH_C1 = 0.4886025119029199
+_SH_C2 = (1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+          -1.0925484305920792, 0.5462742152960396)
+_SH_C3 = (-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+          0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+          -0.5900435899266435)
+_SH_C4 = (2.5033429417967046, -1.7701307697799304, 0.9461746957575601,
+          -0.6690465435572892, 0.10578554691520431, -0.6690465435572892,
+          0.47308734787878004, -1.7701307697799304, 0.6258357354491761)
+
+
+def eval_sh(harmonics, dirs, sh_degree):
+    """harmonics (..., 3, d_sh), dirs (..., 3) → RGB (+0.5 offset, clamp ≥0)."""
+    d = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    x, y, z = d[..., 0:1], d[..., 1:2], d[..., 2:3]
+    sh = harmonics.astype(jnp.float32)
+
+    c = _SH_C0 * sh[..., 0]
+    if sh_degree >= 1:
+        c = c - _SH_C1 * y * sh[..., 1] + _SH_C1 * z * sh[..., 2] \
+            - _SH_C1 * x * sh[..., 3]
+    if sh_degree >= 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        c = (c + _SH_C2[0] * xy * sh[..., 4] + _SH_C2[1] * yz * sh[..., 5]
+             + _SH_C2[2] * (2 * zz - xx - yy) * sh[..., 6]
+             + _SH_C2[3] * xz * sh[..., 7] + _SH_C2[4] * (xx - yy) * sh[..., 8])
+    if sh_degree >= 3:
+        c = (c + _SH_C3[0] * y * (3 * xx - yy) * sh[..., 9]
+             + _SH_C3[1] * xy * z * sh[..., 10]
+             + _SH_C3[2] * y * (4 * zz - xx - yy) * sh[..., 11]
+             + _SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[..., 12]
+             + _SH_C3[4] * x * (4 * zz - xx - yy) * sh[..., 13]
+             + _SH_C3[5] * z * (xx - yy) * sh[..., 14]
+             + _SH_C3[6] * x * (xx - 3 * yy) * sh[..., 15])
+    if sh_degree >= 4:
+        c = (c + _SH_C4[0] * xy * (xx - yy) * sh[..., 16]
+             + _SH_C4[1] * yz * (3 * xx - yy) * sh[..., 17]
+             + _SH_C4[2] * xy * (7 * zz - 1) * sh[..., 18]
+             + _SH_C4[3] * yz * (7 * zz - 3) * sh[..., 19]
+             + _SH_C4[4] * (zz * (35 * zz - 30) + 3) * sh[..., 20]
+             + _SH_C4[5] * xz * (7 * zz - 3) * sh[..., 21]
+             + _SH_C4[6] * (xx - yy) * (7 * zz - 1) * sh[..., 22]
+             + _SH_C4[7] * xz * (xx - 3 * yy) * sh[..., 23]
+             + _SH_C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 24])
+    return jnp.maximum(c + 0.5, 0.0)
+
+
+# --------------------------------------------------------------------------- #
+# 2. tile-pair construction (XLA, discrete/non-diff)                          #
+# --------------------------------------------------------------------------- #
+def _run_lookup(offsets, size):
+    """offsets (N+1,) exclusive-cumsum run starts → (size,) run-id per slot.
+
+    Slot i belongs to run g iff offsets[g] ≤ i < offsets[g+1]; zero-length
+    runs are skipped by the repeated-marker cumsum.
+    """
+    n = offsets.shape[0] - 1
+    marker = jnp.zeros((size,), jnp.int32)
+    marker = marker.at[offsets[:n]].add(1, mode="drop")
+    return jnp.cumsum(marker) - 1
+
+
+def build_pairs(proj: Projected, ntx, nty, pair_budget):
+    """(gaussian, tile) pair list, sorted by (tile, depth), chunk-padded.
+
+    Returns (gid_final (P2,) int32 [-1 = padding], chunk_tile/first/last
+    (n_chunks,) int32) with P2 = pair_budget + n_tiles·CHUNK static.
+    """
+    n_tiles = ntx * nty
+    g = proj.depth.shape[0]
+
+    mx, my = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    x0 = jnp.clip(jnp.floor((mx - r) / TILE), 0, ntx).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((mx + r) / TILE), 0, ntx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, nty).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((my + r) / TILE), 0, nty).astype(jnp.int32)
+    w = jnp.where(proj.valid, x1 - x0, 0)
+    h = jnp.where(proj.valid, y1 - y0, 0)
+    n_per_g = w * h
+
+    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(n_per_g)]).astype(jnp.int32)
+    total = offsets[g]
+
+    p1 = pair_budget
+    slot = jnp.arange(p1, dtype=jnp.int32)
+    gid = _run_lookup(offsets, p1)
+    gid_c = jnp.clip(gid, 0, g - 1)
+    rank = slot - offsets[gid_c]
+    wg = jnp.maximum(w[gid_c], 1)
+    dy, dx = rank // wg, rank % wg
+    tile = (y0[gid_c] + dy) * ntx + (x0[gid_c] + dx)
+    pair_ok = (slot < total) & (gid >= 0) & (rank < n_per_g[gid_c])
+    tile = jnp.where(pair_ok, tile, n_tiles)          # sentinel sorts last
+    depth_key = jnp.where(pair_ok, proj.depth[gid_c], jnp.inf)
+
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile, depth_key.astype(jnp.float32), gid_c), num_keys=2)
+    valid_s = tile_s < n_tiles
+
+    # chunk-pad every tile segment (≥1 chunk so empty tiles still emit bg)
+    counts = jax.ops.segment_sum(valid_s.astype(jnp.int32), tile_s,
+                                 num_segments=n_tiles + 1)[:n_tiles]
+    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts)]).astype(jnp.int32)
+    padded = jnp.maximum(_cdiv_arr(counts) * CHUNK, CHUNK)
+    pstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(padded)]).astype(jnp.int32)
+
+    p2 = pair_budget + n_tiles * CHUNK
+    tile_sc = jnp.clip(tile_s, 0, n_tiles - 1)
+    pos = pstart[tile_sc] + (jnp.arange(p1, dtype=jnp.int32)
+                             - seg_start[tile_sc])
+    pos = jnp.where(valid_s, pos, p2)
+    gid_final = jnp.full((p2,), -1, jnp.int32).at[pos].set(gid_s, mode="drop")
+
+    # chunk → tile map via the same run-lookup on chunk counts
+    n_chunks = p2 // CHUNK
+    chunk_off = pstart // CHUNK
+    chunk_tile = _run_lookup(chunk_off, n_chunks)
+    in_use = jnp.arange(n_chunks, dtype=jnp.int32) < chunk_off[n_tiles]
+    chunk_tile = jnp.where(in_use & (chunk_tile >= 0), chunk_tile,
+                           n_tiles).astype(jnp.int32)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), chunk_tile[:-1]])
+    nxt = jnp.concatenate([chunk_tile[1:], jnp.full((1,), -2, jnp.int32)])
+    chunk_first = (chunk_tile != prev).astype(jnp.int32)
+    chunk_last = (chunk_tile != nxt).astype(jnp.int32)
+    return gid_final, chunk_tile, chunk_first, chunk_last
+
+
+def _cdiv_arr(x):
+    return -(-x // CHUNK)
+
+
+# --------------------------------------------------------------------------- #
+# 3. Pallas composite (custom VJP)                                            #
+# --------------------------------------------------------------------------- #
+# attrs row layout (16, P2):
+#   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity
+#   6 r | 7 g | 8 b | 9 depth | 10 one | 11..15 zero  (rows 6..13 = payload)
+# out channel layout (n_tiles+1, 256, 8): 0-2 rgb | 3 depth | 4 alpha
+#   | 5 T_final | 6,7 unused
+
+
+def _pixel_grid(tile_id, ntx):
+    ty = tile_id // ntx
+    tx = tile_id - ty * ntx
+    p = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE + p % TILE).astype(jnp.float32) + 0.5
+    py = (ty * TILE + p // TILE).astype(jnp.float32) + 0.5
+    return px, py
+
+
+def _chunk_alpha(attrs, px, py):
+    """α (PIX, C) with σ<0 / α<1/255 skips and 0.999 clamp, plus raw pieces."""
+    dx = px - attrs[0, :][None, :]
+    dy = py - attrs[1, :][None, :]
+    sigma = (0.5 * (attrs[2, :] * dx * dx + attrs[4, :] * dy * dy)
+             + attrs[3, :] * dx * dy)
+    a_raw = attrs[5, :] * jnp.exp(-sigma)
+    ok = (sigma >= 0.0) & (a_raw >= ALPHA_MIN)
+    alpha = jnp.where(ok, jnp.minimum(a_raw, ALPHA_CLAMP), 0.0)
+    return alpha, sigma, a_raw, ok, dx, dy
+
+
+def _transmittance(alpha, t_carry, done):
+    """Within-chunk transmittance via log-space cumsum.
+
+    Matches the CUDA per-pixel rule: composite Gaussian i only while
+    T·(1−α_i) ≥ 1e-4; the first violation freezes the pixel permanently
+    (`done`).  Within a chunk `t_incl` is monotone non-increasing, so the
+    live mask is a prefix; across chunks the carried `done` flag prevents
+    resurrection by a later low-α Gaussian.
+    """
+    lg = jnp.log1p(-alpha)
+    cs = jnp.cumsum(lg, axis=1)
+    t_incl = jnp.exp(cs) * t_carry
+    t_excl = jnp.exp(cs - lg) * t_carry
+    live = (t_incl >= T_EPS) & (done < 0.5)
+    w = alpha * t_excl * live
+    t_new = jnp.min(jnp.where(live, t_incl, t_carry), axis=1, keepdims=True)
+    done_new = jnp.maximum(
+        done, (t_incl[:, -1:] < T_EPS).astype(jnp.float32))
+    return w, t_excl, live, t_new, done_new
+
+
+def _fwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_ref, acc, t_s, *,
+                ntx, n_tiles):
+    c = pl.program_id(0)
+    tile_id = ct_ref[c]
+
+    @pl.when(cf_ref[c] == 1)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+        t_s[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+
+    @pl.when(tile_id < n_tiles)
+    def _():
+        attrs = attrs_ref[:]                              # (16, C)
+        px, py = _pixel_grid(tile_id, ntx)
+        alpha, _, _, _, _, _ = _chunk_alpha(attrs, px, py)
+        w, _, _, t_new, done = _transmittance(
+            alpha, t_s[:, 0:1], t_s[:, 1:2])
+        payload = attrs[6:14, :]                          # (8, C)
+        acc[:] += jax.lax.dot_general(
+            w, payload, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (PIX, 8)
+        t_s[:, 0:1] = t_new
+        t_s[:, 1:2] = done
+
+    @pl.when(cl_ref[c] == 1)
+    def _():
+        out = acc[:]
+        out = out.at[:, 5].set(t_s[:, 0])
+        out_ref[0] = out
+
+
+def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
+                dattrs_ref, t_s, q_s, *, ntx, n_tiles):
+    c = pl.program_id(0)
+    tile_id = ct_ref[c]
+
+    @pl.when(cf_ref[c] == 1)
+    def _():
+        t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+        t_s[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
+        q_s[:] = jnp.zeros_like(q_s)
+
+    dattrs_ref[:] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+
+    @pl.when(tile_id < n_tiles)
+    def _():
+        attrs = attrs_ref[:]
+        g_out = g_tile_ref[0]                              # (PIX, 8) cotangent
+        out = out_tile_ref[0]                              # (PIX, 8) saved fwd
+
+        px, py = _pixel_grid(tile_id, ntx)
+        alpha, _, a_raw, ok, dx, dy = _chunk_alpha(attrs, px, py)
+        w, t_excl, live, t_new, done = _transmittance(
+            alpha, t_s[:, 0:1], t_s[:, 1:2])
+
+        payload = attrs[6:14, :]
+        # gp[px, i] = Σ_ch g_ch[px]·payload[ch, i] (data rides channels 0..4)
+        gp = jax.lax.dot_general(
+            g_out, payload, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (PIX, C)
+        q = w * gp
+        q_incl = jnp.cumsum(q, axis=1) + q_s[:, 0:1]
+        # Σ_{j>i} w_j·gp_j = (tile total from saved output) − prefix_incl_i
+        o_total = jnp.sum(g_out[:, :5] * out[:, :5], axis=1, keepdims=True)
+        g5_tn = g_out[:, 5:6] * out[:, 5:6]                # cotangent via T_N
+
+        mask = live & ok & (a_raw < ALPHA_CLAMP)
+        dalpha = jnp.where(
+            mask,
+            gp * t_excl - (o_total - q_incl + g5_tn) / (1.0 - alpha),
+            0.0)
+        # α = o·e^{−σ} ⇒ ∂α/∂o = α/o, ∂α/∂σ = −α
+        inv_o = 1.0 / jnp.maximum(attrs[5, :][None, :], 1e-12)
+        dop = jnp.sum(alpha * inv_o * dalpha, axis=0)      # (C,)
+        dsigma = -alpha * dalpha                           # (PIX, C)
+        da = 0.5 * jnp.sum(dsigma * dx * dx, axis=0)
+        db = jnp.sum(dsigma * dx * dy, axis=0)
+        dc = 0.5 * jnp.sum(dsigma * dy * dy, axis=0)
+        ca = attrs[2, :][None, :]
+        cb = attrs[3, :][None, :]
+        cc = attrs[4, :][None, :]
+        # σ depends on d = px − mean ⇒ ∂σ/∂mean = −∂σ/∂d
+        dmx = -jnp.sum(dsigma * (ca * dx + cb * dy), axis=0)
+        dmy = -jnp.sum(dsigma * (cc * dy + cb * dx), axis=0)
+        dpayload = jax.lax.dot_general(
+            g_out, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (8, C)
+
+        d = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+        d = d.at[0, :].set(dmx).at[1, :].set(dmy)
+        d = d.at[2, :].set(da).at[3, :].set(db).at[4, :].set(dc)
+        d = d.at[5, :].set(dop)
+        d = d.at[6:14, :].set(dpayload)
+        dattrs_ref[:] = d
+
+        t_s[:, 0:1] = t_new
+        t_s[:, 1:2] = done
+        q_s[:, 0:1] = q_incl[:, -1:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
+               interpret):
+    """attrs (16, P2) → per-tile images (n_tiles+1, 256, 8); last block junk."""
+    return _composite_fwd(attrs, chunk_tile, chunk_first, chunk_last,
+                          ntx, n_tiles, interpret)[0]
+
+
+def _composite_fwd(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
+                   interpret):
+    n_chunks = attrs.shape[1] // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.VMEM((PIX, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, ntx=ntx, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, PIX, 8), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, chunk_last, attrs)
+    return out, (attrs, chunk_tile, chunk_first, chunk_last, out)
+
+
+def _composite_bwd(ntx, n_tiles, interpret, res, g):
+    attrs, chunk_tile, chunk_first, chunk_last, out = res
+    n_chunks = attrs.shape[1] // CHUNK
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
+            pl.BlockSpec((1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+            pl.BlockSpec((1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
+        scratch_shapes=[
+            pltpu.VMEM((PIX, 128), jnp.float32),
+            pltpu.VMEM((PIX, 128), jnp.float32),
+        ],
+    )
+    dattrs = pl.pallas_call(
+        functools.partial(_bwd_kernel, ntx=ntx, n_tiles=n_tiles),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, chunk_last, attrs, out, g)
+    return (dattrs, None, None, None)
+
+
+_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+# --------------------------------------------------------------------------- #
+# 4. public entry                                                             #
+# --------------------------------------------------------------------------- #
+def _rasterize_view(means, covars, colors, opacities, viewmat, K,
+                    width, height, background, pair_budget, interpret,
+                    near_plane, far_plane, radius_clip, eps2d):
+    ntx, nty = _cdiv(width, TILE), _cdiv(height, TILE)
+    n_tiles = ntx * nty
+    g = means.shape[0]
+
+    proj = project_gaussians(
+        means, covars, viewmat, K, width, height, eps2d=eps2d,
+        near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip)
+
+    op = jnp.where(proj.valid, opacities.astype(jnp.float32), 0.0)
+    attrs = jnp.zeros((ATTR_ROWS, g), jnp.float32)
+    attrs = attrs.at[0:2, :].set(proj.mean2d.T)
+    attrs = attrs.at[2:5, :].set(proj.conic.T)
+    attrs = attrs.at[5, :].set(op)
+    attrs = attrs.at[6:9, :].set(colors.T)
+    attrs = attrs.at[9, :].set(proj.depth)
+    attrs = attrs.at[10, :].set(1.0)
+
+    gid, c_tile, c_first, c_last = build_pairs(proj, ntx, nty, pair_budget)
+    pair_ok = (gid >= 0).astype(jnp.float32)
+    attrs_s = attrs[:, jnp.clip(gid, 0, g - 1)] * pair_ok[None, :]
+
+    out = _composite(attrs_s, c_tile, c_first, c_last, ntx, n_tiles,
+                     interpret)[:n_tiles]
+    img = out.reshape(nty, ntx, TILE, TILE, 8).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(nty * TILE, ntx * TILE, 8)[:height, :width]
+
+    t_final = img[..., 5]
+    rgb = img[..., 0:3] + t_final[..., None] * background[None, None, :]
+    return rgb, img[..., 3], img[..., 4]
+
+
+def rasterize(
+    means: jnp.ndarray,       # (G, 3) world-space centers
+    covars: jnp.ndarray,      # (G, 3, 3) world-space covariances
+    harmonics: jnp.ndarray,   # (G, 3, d_sh) SH coefficients
+    opacities: jnp.ndarray,   # (G,)
+    viewmats: jnp.ndarray,    # (V, 4, 4) world→camera
+    Ks: jnp.ndarray,          # (V, 3, 3) pixel-unit intrinsics
+    width: int,
+    height: int,
+    *,
+    sh_degree: int | None = None,
+    background: jnp.ndarray | None = None,   # (3,)
+    near_plane: float = 1e-10,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.1,
+    eps2d: float = 0.3,
+    pair_budget: int | None = None,
+    interpret: bool | None = None,
+):
+    """Differentiable multi-view 3DGS rasterization (gsplat-call parity).
+
+    Returns (rgb (V, H, W, 3), depth (V, H, W), alpha (V, H, W)); rgb is
+    background-composited but NOT clamped (the decoder wrapper clamps, as the
+    reference does at `decoder_splatting_cuda.py:111`).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    g = means.shape[0]
+    d_sh = harmonics.shape[-1]
+    if sh_degree is None:
+        sh_degree = int(round(d_sh ** 0.5)) - 1
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    background = background.astype(jnp.float32)
+    if pair_budget is None:
+        # generous default: per-pixel Gaussians are mostly sub-tile, but small
+        # scenes with large splats need headroom; overflow pairs are dropped.
+        pair_budget = max(8 * g, 1024)
+    pair_budget = _cdiv(pair_budget, CHUNK) * CHUNK
+
+    def one_view(cam):
+        viewmat, K = cam
+        R, t = viewmat[:3, :3], viewmat[:3, 3]
+        campos = -R.T @ t
+        colors = eval_sh(harmonics, means - campos[None, :], sh_degree)
+        return _rasterize_view(
+            means, covars, colors, opacities, viewmat, K, width, height,
+            background, pair_budget, interpret,
+            near_plane, far_plane, radius_clip, eps2d)
+
+    return jax.lax.map(one_view, (viewmats.astype(jnp.float32),
+                                  Ks.astype(jnp.float32)))
