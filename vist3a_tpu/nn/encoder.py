@@ -1,0 +1,189 @@
+"""Full AnySplat encoder: aggregator → camera/depth/GS heads → Gaussians.
+
+Behavioral parity with `src/model/encoder/anysplat.py:337-620` (the teacher /
+full feed-forward model) and the head-composition half of
+`models/anysplat_stitched.py:330-525` (shared by the stitched student via
+`vist3a_tpu/stitch/chopped_anysplat.py`):
+
+  * camera head (fp32, 4 refinement iterations) → pose enc → extri/intri;
+  * depth DPT head → depth + confidence → world-point unprojection;
+  * Gaussian DPT head (RGB skip) → 83 raw channels + confidence;
+  * confidence mask by global quantile (`render_conf`), density sigmoid →
+    `map_pdf_to_opacity`, optional `opacity_conf` reweighting;
+  * `UnifiedGaussianAdapter` → calibrated Gaussians;
+  * context pose dict: c2w 4×4 + width/height-normalized intrinsics.
+
+TPU note — static shapes: the reference gathers confidence-masked pixels into
+ragged per-batch lists and pads with −1e10/−1e4 sentinels
+(`anysplat.py:486-499`).  Here every pixel stays resident and the mask is
+folded into opacity (masked Gaussians have opacity 0 ⇒ identical renders),
+so G = S·H·W is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vist3a_tpu.nn import aggregator as agg_mod
+from vist3a_tpu.nn import vit as vit_mod
+from vist3a_tpu.nn.gaussians import (
+    Gaussians,
+    map_pdf_to_opacity,
+    unified_gaussian_adapter,
+)
+from vist3a_tpu.nn.geometry import (
+    closed_form_inverse_se3,
+    pose_encoding_to_extri_intri,
+    unproject_depth,
+)
+from vist3a_tpu.nn.heads import (
+    CameraHeadConfig,
+    DPTConfig,
+    GSHeadConfig,
+    camera_head_apply,
+    camera_head_init,
+    dpt_apply,
+    dpt_init,
+    gs_head_apply,
+    gs_head_init,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    """Mirrors the deployed `EncoderAnySplatCfg` fields that the forward uses
+    (`anysplat.py:82-125`; voxelize forced off by
+    `model_stitching_training.py:331-332`)."""
+    vit: vit_mod.ViTConfig = vit_mod.VIT_LARGE
+    agg: agg_mod.AggregatorConfig = agg_mod.AggregatorConfig()
+    camera: CameraHeadConfig = CameraHeadConfig()
+    depth: DPTConfig = DPTConfig(activation="exp", conf_activation="expp1")
+    gs: GSHeadConfig = GSHeadConfig(output_dim=84, head2_features=128,
+                                    pos_embed=False)
+    sh_degree: int = 4
+    render_conf: bool = True
+    conf_threshold: float = 0.1
+    opacity_conf: bool = False
+
+    @property
+    def raw_gs_dim(self) -> int:
+        # 1 density + 3 scales + 4 quat + 3·(deg+1)² SH = 83 at degree 4
+        return self.gs.output_dim - 1
+
+
+class EncoderOutput(NamedTuple):
+    gaussians: Gaussians
+    pred_pose_enc_list: list
+    extrinsic_c2w: jnp.ndarray      # (B, S, 4, 4)
+    intrinsic_norm: jnp.ndarray     # (B, S, 3, 3), fx/W fy/H normalized
+    depth: jnp.ndarray              # (B, S, H, W, 1)
+    depth_conf: jnp.ndarray         # (B, S, H, W)
+    conf_valid_mask: jnp.ndarray    # (B, S, H, W) bool
+    scene_scale: jnp.ndarray        # ()
+    anchor_feats: jnp.ndarray       # (B, S, raw_gs_dim, H, W)
+    gs_conf: jnp.ndarray            # (B, S, H, W)
+
+
+def init(key: jax.Array, cfg: EncoderConfig = EncoderConfig(),
+         dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 5)
+    return {
+        "vit": vit_mod.init(keys[0], cfg.vit, dtype),
+        "aggregator": agg_mod.init(keys[1], cfg.agg, dtype),
+        "camera_head": camera_head_init(keys[2], cfg.camera, dtype),
+        "depth_head": dpt_init(keys[3], cfg.depth, dtype),
+        "gs_head": gs_head_init(keys[4], cfg.gs, dtype),
+    }
+
+
+def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
+                   images01: jnp.ndarray) -> EncoderOutput:
+    """taps (4 × (B,S,P,2C)) + images (B,S,3,H,W) in [0,1] → EncoderOutput.
+
+    Heads run fp32 regardless of trunk dtype (`anysplat.py:421`,
+    `models/anysplat_stitched.py:335`).
+    """
+    b, s, _, h, w = images01.shape
+    psi = cfg.agg.patch_start_idx
+    taps = [t.astype(jnp.float32) for t in taps]
+    images01 = images01.astype(jnp.float32)
+
+    # camera: last tap, 4 refinement iterations
+    pose_enc_list = camera_head_apply(params["camera_head"], taps[-1],
+                                      cfg.camera)
+    last_pose_enc = pose_enc_list[-1]
+    extrinsic, intrinsic = pose_encoding_to_extri_intri(last_pose_enc, (h, w))
+
+    # depth → world points
+    depth, depth_conf = dpt_apply(params["depth_head"], taps, (h, w), psi,
+                                  cfg.depth, (b, s))
+    pts = unproject_depth(depth, extrinsic, intrinsic)        # (B,S,H,W,3)
+
+    # confidence mask (global quantile over all views/pixels)
+    if cfg.render_conf:
+        thresh = jnp.quantile(depth_conf, cfg.conf_threshold)
+        conf_valid = depth_conf > thresh
+    else:
+        conf_valid = jnp.ones_like(depth_conf, dtype=bool)
+
+    # Gaussian params head (with RGB skip)
+    raw = gs_head_apply(params["gs_head"], taps, images01, psi, cfg.gs)
+    anchor_feats = raw[:, :, : cfg.raw_gs_dim]                # (B,S,83,H,W)
+    gs_conf = raw[:, :, cfg.raw_gs_dim]                       # (B,S,H,W)
+
+    scene_scale = jnp.clip(
+        jnp.mean(jnp.linalg.norm(pts.reshape(b, -1, 3), axis=-1)), 1e-8)
+
+    # static-shape Gaussian assembly: mask → opacity (see module docstring)
+    feats = anchor_feats.transpose(0, 1, 3, 4, 2).reshape(b, -1,
+                                                          cfg.raw_gs_dim)
+    means = pts.reshape(b, -1, 3)
+    mask = conf_valid.reshape(b, -1)
+    densities = jax.nn.sigmoid(feats[..., 0])
+    opacity = map_pdf_to_opacity(densities)
+    if cfg.opacity_conf:
+        shift = jnp.quantile(depth_conf, cfg.conf_threshold)
+        opacity = opacity * jax.nn.sigmoid(depth_conf.reshape(b, -1) - shift)
+    opacity = opacity * mask
+
+    gaussians = unified_gaussian_adapter(means, opacity, feats[..., 1:],
+                                         cfg.sh_degree)
+
+    # context pose: pad [0,0,0,1], invert to c2w; normalize K by (w, h)
+    pad = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], extrinsic.dtype), (b, s, 1, 4))
+    extri44 = jnp.concatenate([extrinsic, pad], axis=2)
+    c2w = closed_form_inverse_se3(extri44.reshape(b * s, 4, 4)).reshape(
+        b, s, 4, 4)
+    scale = jnp.asarray([[1.0 / w], [1.0 / h], [1.0]], intrinsic.dtype)
+    intrinsic_norm = intrinsic * scale
+
+    return EncoderOutput(
+        gaussians=gaussians,
+        pred_pose_enc_list=pose_enc_list,
+        extrinsic_c2w=c2w,
+        intrinsic_norm=intrinsic_norm,
+        depth=depth,
+        depth_conf=depth_conf,
+        conf_valid_mask=conf_valid,
+        scene_scale=scene_scale,
+        anchor_feats=anchor_feats,
+        gs_conf=gs_conf,
+    )
+
+
+def forward(params: dict, images01: jnp.ndarray,
+            cfg: EncoderConfig = EncoderConfig(), *,
+            remat: bool = True) -> EncoderOutput:
+    """Full (un-chopped) encoder — the frozen distillation teacher.
+
+    images01: (B, S, 3, H, W) in [0, 1] (`anysplat.py:337-620`; the
+    stitching trainer feeds `(imgs+1)/2`, `model_stitching_training.py:129`).
+    """
+    taps, _ = agg_mod.forward(params["aggregator"], params["vit"], images01,
+                              cfg.agg, cfg.vit, remat=remat)
+    return heads_pipeline(params, cfg, taps, images01)

@@ -320,12 +320,16 @@ class GSHeadConfig(DPTConfig):
 
 
 def gs_head_init(key, cfg: GSHeadConfig, dtype=jnp.float32) -> dict:
+    # input_merger output must match output_conv1's features//2 channels for
+    # the additive RGB skip (`vggt_dpt_gs_head.py:69-84,167-170`; both are 128
+    # at the deployed scale since output_dim 84 > 50 ⇒ head_features_2 = 128).
     p = dpt_init(key, cfg, dtype)
+    h1 = cfg.features // 2
     h2 = cfg.head2_features
-    p["input_merger"] = conv2d_init(jax.random.fold_in(key, 93), 3, h2, 7,
+    p["input_merger"] = conv2d_init(jax.random.fold_in(key, 93), 3, h1, 7,
                                     dtype=dtype)
     p["output_conv2"] = [
-        conv2d_init(jax.random.fold_in(key, 94), 128, h2, 3, dtype=dtype),
+        conv2d_init(jax.random.fold_in(key, 94), h1, h2, 3, dtype=dtype),
         conv2d_init(jax.random.fold_in(key, 95), h2, cfg.output_dim, 1,
                     dtype=dtype),
     ]
