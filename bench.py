@@ -1,0 +1,105 @@
+"""Headline benchmark: latent→3DGS stitched-decoder forward at deployed shape.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured path is the `inference_t23d.py` decode hot loop — Wan latent
+(1,16,4,64,64) → trilinear pre-upsample → conv3d stitch → chopped AnySplat
+(DINOv2 blocks + VGGT alternating attention + camera/DPT/GS heads) → padded
+Gaussians — on whatever backend JAX selects (TPU chip under the driver).
+
+The reference publishes no latency numbers (SURVEY.md §6), so `vs_baseline`
+reports the speedup of this path over the same program with the plain XLA
+attention instead of our Pallas flash kernel (impl toggled via the config),
+i.e. the measured benefit of the custom kernels on identical hardware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _inputs():
+    """Params + inputs, shared by both attention variants (same shapes)."""
+    from vist3a_tpu.nn import encoder as enc_mod
+    from vist3a_tpu.stitch import chopped_anysplat as ca
+
+    cfg = ca.StitchedConfig()
+    params = {
+        "encoder": enc_mod.cast_trunk_bf16(
+            enc_mod.init(jax.random.key(0), cfg.encoder)),
+        "stitch_conv": ca.init_stitch_conv(jax.random.key(1), cfg),
+    }
+    latent = jax.random.normal(jax.random.key(2), (1, 16, 4, 64, 64),
+                               jnp.bfloat16)
+    images = jax.random.uniform(jax.random.key(3), (1, 3, 13, 448, 448),
+                                jnp.bfloat16, -1.0, 1.0)
+    return params, latent, images
+
+
+def _build(attn_impl: str):
+    from vist3a_tpu.stitch import chopped_anysplat as ca
+
+    base = ca.StitchedConfig()
+    ecfg = dataclasses.replace(
+        base.encoder,
+        vit=dataclasses.replace(base.encoder.vit, attn_impl=attn_impl),
+        agg=dataclasses.replace(base.encoder.agg, attn_impl=attn_impl),
+    )
+    cfg = dataclasses.replace(base, encoder=ecfg)
+
+    @jax.jit
+    def fn(params, latent, images):
+        # remat off for inference: no backward, keep all fusion freedom
+        out = ca.forward_with_latent(params, latent, images, cfg,
+                                     remat=False)
+        # reduce to one scalar INSIDE the jit: every head still computes
+        # (nothing is dead), but no multi-GB output buffers survive the call,
+        # and fetching the scalar forces completion even on async backends
+        # where block_until_ready returns early (axon tunnel).
+        g = out.gaussians
+        return (jnp.sum(g.means) + jnp.sum(g.harmonics) + jnp.sum(g.opacities)
+                + jnp.sum(g.covariances) + jnp.sum(out.depth)
+                + jnp.sum(out.extrinsic_c2w)).astype(jnp.float32)
+
+    return fn
+
+
+def _time(fn, params, latent, images, iters: int = 5) -> float:
+    float(fn(params, latent, images))            # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        float(fn(params, latent, images))        # host fetch = hard barrier
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    fast_impl = "pallas" if on_tpu else "xla"
+
+    params, latent, images = _inputs()
+    fn = _build(fast_impl)
+    fast = _time(fn, params, latent, images)
+
+    if on_tpu:
+        del fn
+        jax.clear_caches()  # drop the first executable before the second
+        fn_x = _build("xla")
+        slow = _time(fn_x, params, latent, images)
+    else:
+        slow = fast
+    print(json.dumps({
+        "metric": "latent_to_3dgs_decode_latency",
+        "value": round(fast * 1000.0, 2),
+        "unit": "ms (1x16x4x64x64 latent -> 13-view 448p Gaussians, "
+                "vs_baseline = xla-attention speedup on same chip)",
+        "vs_baseline": round(slow / fast, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,88 @@ def _ensure_stub(name):
     sys.modules[name] = mod
 
 
+def _ensure_diffusers_stubs():
+    """Minimal diffusers API surface so `utils/wan_utils.py` imports: mixins,
+    the diagonal-Gaussian posterior, and trivial decorators.  Faithful enough
+    for numeric parity tests (mode/sample math matches diffusers)."""
+    if "diffusers" in sys.modules:
+        return
+    import torch
+    import torch.nn as nn
+
+    def _mod(name):
+        m = types.ModuleType(name)
+        sys.modules[name] = m
+        return m
+
+    root = _mod("diffusers")
+    cfgu = _mod("diffusers.configuration_utils")
+
+    class ConfigMixin:
+        pass
+
+    def register_to_config(fn):
+        return fn
+
+    cfgu.ConfigMixin = ConfigMixin
+    cfgu.register_to_config = register_to_config
+
+    sfm = _mod("diffusers.loaders")
+    sfm = _mod("diffusers.loaders.single_file_model")
+
+    class FromOriginalModelMixin:
+        pass
+
+    sfm.FromOriginalModelMixin = FromOriginalModelMixin
+
+    acts = _mod("diffusers.models")
+    acts = _mod("diffusers.models.activations")
+    acts.get_activation = lambda name: {"silu": nn.SiLU()}[name]
+
+    vae = _mod("diffusers.models.autoencoders")
+    vae = _mod("diffusers.models.autoencoders.vae")
+
+    class DecoderOutput:
+        def __init__(self, sample):
+            self.sample = sample
+
+    class DiagonalGaussianDistribution:
+        def __init__(self, parameters, deterministic=False):
+            self.parameters = parameters
+            self.mean, self.logvar = torch.chunk(parameters, 2, dim=1)
+            self.logvar = torch.clamp(self.logvar, -30.0, 20.0)
+            self.std = torch.exp(0.5 * self.logvar)
+
+        def mode(self):
+            return self.mean
+
+        def sample(self, generator=None):
+            return self.mean + self.std * torch.randn_like(self.mean)
+
+    vae.DecoderOutput = DecoderOutput
+    vae.DiagonalGaussianDistribution = DiagonalGaussianDistribution
+
+    mo = _mod("diffusers.models.modeling_outputs")
+
+    class AutoencoderKLOutput:
+        def __init__(self, latent_dist):
+            self.latent_dist = latent_dist
+
+    mo.AutoencoderKLOutput = AutoencoderKLOutput
+
+    mu = _mod("diffusers.models.modeling_utils")
+    mu.ModelMixin = nn.Module
+
+    wp = _mod("diffusers.pipelines")
+    wp = _mod("diffusers.pipelines.wan")
+    wp = _mod("diffusers.pipelines.wan.pipeline_wan")
+    wp.prompt_clean = lambda s: " ".join(s.split())
+
+    au = _mod("diffusers.utils")
+    au = _mod("diffusers.utils.accelerate_utils")
+    au.apply_forward_hook = lambda fn: fn
+
+
 def available() -> bool:
     return REF.exists()
 
@@ -73,6 +155,7 @@ def setup() -> None:
         sys.path.insert(0, str(REF))
     for name in _STUBS:
         _ensure_stub(name)
+    _ensure_diffusers_stubs()
     for name, rel in _PARENTS.items():
         if name not in sys.modules:
             mod = types.ModuleType(name)

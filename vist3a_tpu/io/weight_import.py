@@ -168,3 +168,98 @@ def import_gs_head(sd, prefix: str = "gaussian_param_head.") -> dict:
     params = import_dpt_head(sd, prefix)
     params["input_merger"] = _conv(sd, f"{prefix}input_merger.0")
     return params
+
+
+# --------------------------------------------------------------------------- #
+# Wan causal-3D VAE (`utils/wan_utils.py:534-1000`)                           #
+# --------------------------------------------------------------------------- #
+def _conv3d_cl(sd, prefix):
+    """torch Conv3d (O,I,kt,kh,kw) → channels-last DHWIO (kt,kh,kw,I,O)."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    return {"kernel": jnp.asarray(w.transpose(2, 3, 4, 1, 0)),
+            "bias": _t(sd, f"{prefix}.bias")}
+
+
+def _conv2d_cl(sd, prefix):
+    """torch Conv2d (O,I,kh,kw) → HWIO."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    return {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "bias": _t(sd, f"{prefix}.bias")}
+
+
+def _rms(sd, prefix):
+    return {"gamma": jnp.asarray(np.asarray(sd[f"{prefix}.gamma"]).reshape(-1))}
+
+
+def _wan_res(sd, p):
+    out = {"norm1": _rms(sd, f"{p}.norm1"), "conv1": _conv3d_cl(sd, f"{p}.conv1"),
+           "norm2": _rms(sd, f"{p}.norm2"), "conv2": _conv3d_cl(sd, f"{p}.conv2")}
+    if f"{p}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv3d_cl(sd, f"{p}.conv_shortcut")
+    return out
+
+
+def _wan_attn(sd, p):
+    return {"norm": _rms(sd, f"{p}.norm"),
+            "to_qkv": _conv2d_cl(sd, f"{p}.to_qkv"),
+            "proj": _conv2d_cl(sd, f"{p}.proj")}
+
+
+def _wan_resample(sd, p):
+    out = {"conv": _conv2d_cl(sd, f"{p}.resample.1")}
+    if f"{p}.time_conv.weight" in sd:
+        out["time_conv"] = _conv3d_cl(sd, f"{p}.time_conv")
+    return out
+
+
+def _wan_mid(sd, p):
+    return {"resnets": [_wan_res(sd, f"{p}.resnets.0"),
+                        _wan_res(sd, f"{p}.resnets.1")],
+            "attentions": [_wan_attn(sd, f"{p}.attentions.0")]}
+
+
+def import_wan_vae(sd, cfg=None) -> dict:
+    """Full `AutoencoderKLWan` state_dict → `vist3a_tpu.nn.wan_vae` tree.
+
+    cfg: WanVAEConfig (layout plan must match the checkpoint)."""
+    from vist3a_tpu.nn.wan_vae import WanVAEConfig, _encoder_plan
+
+    cfg = cfg or WanVAEConfig()
+    down = []
+    for i, (kind, ci, co) in enumerate(_encoder_plan(cfg)):
+        p = f"encoder.down_blocks.{i}"
+        if kind == "res":
+            down.append(_wan_res(sd, p))
+        elif kind == "attn":
+            down.append(_wan_attn(sd, p))
+        else:
+            down.append(_wan_resample(sd, p))
+    encoder = {
+        "conv_in": _conv3d_cl(sd, "encoder.conv_in"),
+        "down_blocks": down,
+        "mid_block": _wan_mid(sd, "encoder.mid_block"),
+        "norm_out": _rms(sd, "encoder.norm_out"),
+        "conv_out": _conv3d_cl(sd, "encoder.conv_out"),
+    }
+    ups = []
+    n_up = len(cfg.dim_mult)
+    for i in range(n_up):
+        p = f"decoder.up_blocks.{i}"
+        blk = {"resnets": [_wan_res(sd, f"{p}.resnets.{j}")
+                           for j in range(cfg.num_res_blocks + 1)]}
+        if f"{p}.upsamplers.0.resample.1.weight" in sd:
+            blk["upsamplers"] = [_wan_resample(sd, f"{p}.upsamplers.0")]
+        ups.append(blk)
+    decoder = {
+        "conv_in": _conv3d_cl(sd, "decoder.conv_in"),
+        "mid_block": _wan_mid(sd, "decoder.mid_block"),
+        "up_blocks": ups,
+        "norm_out": _rms(sd, "decoder.norm_out"),
+        "conv_out": _conv3d_cl(sd, "decoder.conv_out"),
+    }
+    return {
+        "encoder": encoder,
+        "quant_conv": _conv3d_cl(sd, "quant_conv"),
+        "post_quant_conv": _conv3d_cl(sd, "post_quant_conv"),
+        "decoder": decoder,
+    }

@@ -100,6 +100,21 @@ def init(key: jax.Array, cfg: EncoderConfig = EncoderConfig(),
     }
 
 
+def cast_trunk_bf16(params: dict) -> dict:
+    """Selective bf16 weight cast skipping head modules — the reference's
+    `cast_to_bfloat16` (`utils/utils_for_thirdparty.py:53-69`) skips any
+    module with "head" in its name; heads compute fp32."""
+    out = {}
+    for k, v in params.items():
+        if "head" in k:
+            out[k] = v
+        else:
+            out[k] = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, v)
+    return out
+
+
 def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
                    images01: jnp.ndarray) -> EncoderOutput:
     """taps (4 × (B,S,P,2C)) + images (B,S,3,H,W) in [0,1] → EncoderOutput.

@@ -168,6 +168,7 @@ class DPTConfig:
     pos_embed: bool = True
     down_ratio: int = 1
     head2_features: int = 32
+    frames_chunk_size: int = 8          # `dpt_head.py:128-183`; ≤0 → off
 
 
 def _residual_unit_init(key, features, dtype):
@@ -235,7 +236,7 @@ def dpt_init(key, cfg: DPTConfig, dtype=jnp.float32) -> dict:
 
 def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
                         img_hw: tuple[int, int]):
-    """taps: 4 × (B,S,P,2C) → fused feature map (B·S, features//2?, ·, ·).
+    """taps: 4 × (N,P,2C) frame-flattened → fused map (N, features//2, ·, ·).
 
     Returns the output of the refinenet cascade + output_conv1 at 2× patch
     grid resolution ((patch_h·ps/2)·... per DPT wiring) — callers apply the
@@ -245,10 +246,10 @@ def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
     ph, pw = h // cfg.patch_size, w // cfg.patch_size
     outs = []
     for i, tap in enumerate(taps):
-        b, s, p, c = tap.shape
-        x = tap.reshape(b * s, p, c).astype(jnp.float32)[:, patch_start_idx:]
+        n, p, c = tap.shape
+        x = tap.astype(jnp.float32)[:, patch_start_idx:]
         x = layer_norm(params["norm"], x)
-        x = x.swapaxes(1, 2).reshape(b * s, c, ph, pw)
+        x = x.swapaxes(1, 2).reshape(n, c, ph, pw)
         x = conv2d(params["projects"][i], x)
         if cfg.pos_embed:
             x = apply_uv_pos_embed(x, w, h)
@@ -269,12 +270,21 @@ def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
     return conv2d(params["output_conv1"], out, padding=1)
 
 
-def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
-              cfg: DPTConfig, batch_seq: tuple[int, int]):
-    """Depth-style DPT: returns (preds (B,S,H,W,C-1), conf (B,S,H,W))."""
+def _frame_chunks(n: int, chunk: int):
+    """Frame-chunk bounds à la `vggt/heads/dpt_head.py:128-183` — bounds are
+    python ints, so each distinct chunk length compiles once (≤2 variants)."""
+    if chunk <= 0 or chunk >= n:
+        return [(0, n)]
+    return [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
+
+
+def _dpt_frames(params, taps_flat, images_hw, patch_start_idx, cfg: DPTConfig):
+    """Per-frame DPT pipeline on pre-flattened taps (4 × (N,P,2C)) →
+    (N, output_dim, H', W').  Pure per-frame math — chunking over N is
+    exact."""
     h, w = images_hw
-    b, s = batch_seq
-    out = _dpt_fused_features(params, taps, cfg, patch_start_idx, images_hw)
+    out = _dpt_fused_features(params, taps_flat, cfg, patch_start_idx,
+                              images_hw)
     ph, pw = h // cfg.patch_size, w // cfg.patch_size
     target = (ph * cfg.patch_size // cfg.down_ratio,
               pw * cfg.patch_size // cfg.down_ratio)
@@ -282,7 +292,23 @@ def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
     if cfg.pos_embed:
         out = apply_uv_pos_embed(out, w, h)
     out = conv2d(params["output_conv2"][0], out, padding=1)
-    out = conv2d(params["output_conv2"][1], jax.nn.relu(out))
+    return conv2d(params["output_conv2"][1], jax.nn.relu(out))
+
+
+def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
+              cfg: DPTConfig, batch_seq: tuple[int, int]):
+    """Depth-style DPT: returns (preds (B,S,H,W,C-1), conf (B,S,H,W)).
+
+    Frames processed in chunks of `cfg.frames_chunk_size` (HBM bound, same
+    scheme as the reference's `frames_chunk_size=8`)."""
+    h, w = images_hw
+    b, s = batch_seq
+    taps_flat = [t.reshape(b * s, *t.shape[2:]) for t in taps]
+    chunks = []
+    for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size):
+        chunks.append(_dpt_frames(params, [t[lo:hi] for t in taps_flat],
+                                  images_hw, patch_start_idx, cfg))
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     # activate (`heads/head_act.py:61-112`)
     fmap = out.transpose(0, 2, 3, 1)  # (BS, H, W, C)
     xyz, conf = fmap[..., :-1], fmap[..., -1]
@@ -336,17 +362,31 @@ def gs_head_init(key, cfg: GSHeadConfig, dtype=jnp.float32) -> dict:
     return p
 
 
-def gs_head_apply(params, taps, images, patch_start_idx: int, cfg: GSHeadConfig):
-    """images: (B,S,3,H,W) in [0,1].  Returns raw (B,S,output_dim,H,W)."""
-    b, s, _, h, w = images.shape
-    out = _dpt_fused_features(params, taps, cfg, patch_start_idx, (h, w))
-    imgs = images.reshape(b * s, 3, h, w).astype(out.dtype)
-    direct = jax.nn.relu(conv2d(params["input_merger"], imgs, padding=3))
+def _gs_frames(params, taps_flat, imgs, cfg: GSHeadConfig,
+               patch_start_idx: int):
+    h, w = imgs.shape[-2:]
+    out = _dpt_fused_features(params, taps_flat, cfg, patch_start_idx, (h, w))
+    direct = jax.nn.relu(conv2d(params["input_merger"],
+                                imgs.astype(out.dtype), padding=3))
     out = resize_bilinear_align_corners(out, (h, w)) + direct
     if cfg.pos_embed:
         out = apply_uv_pos_embed(out, w, h)
     out = conv2d(params["output_conv2"][0], out, padding=1)
-    out = conv2d(params["output_conv2"][1], jax.nn.relu(out))
+    return conv2d(params["output_conv2"][1], jax.nn.relu(out))
+
+
+def gs_head_apply(params, taps, images, patch_start_idx: int, cfg: GSHeadConfig):
+    """images: (B,S,3,H,W) in [0,1].  Returns raw (B,S,output_dim,H,W).
+    Frame-chunked like the reference (`vggt_dpt_gs_head.py:86-121`)."""
+    b, s, _, h, w = images.shape
+    taps_flat = [t.reshape(b * s, *t.shape[2:]) for t in taps]
+    imgs_flat = images.reshape(b * s, 3, h, w)
+    chunks = [
+        _gs_frames(params, [t[lo:hi] for t in taps_flat], imgs_flat[lo:hi],
+                   cfg, patch_start_idx)
+        for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size)
+    ]
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     return out.reshape(b, s, cfg.output_dim, h, w)
 
 

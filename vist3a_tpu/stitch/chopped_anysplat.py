@@ -32,6 +32,7 @@ from vist3a_tpu.nn import vit as vit_mod
 from vist3a_tpu.nn.encoder import EncoderConfig, EncoderOutput, heads_pipeline
 from vist3a_tpu.nn.heads import _interp_matrix
 from vist3a_tpu.nn.layers import layer_norm, scan_blocks, slice_stack
+from vist3a_tpu.nn.wan_vae import WanVAEConfig
 from vist3a_tpu.stitch.conv_spec import ConvSpec, parse_conv_spec
 
 CANONICAL_CONV_SPEC = "conv3d_k5x3x3_o1024_s1x2x2_p2x1x1"
@@ -44,6 +45,7 @@ class StitchedConfig:
     conv_spec: str = CANONICAL_CONV_SPEC
     latent_channels: int = 16            # Wan z dim
     latent_t: int = 13                   # Wan temporal latent length (T=13)
+    vae: WanVAEConfig = WanVAEConfig()   # frozen Wan VAE (pixel-input path)
 
     @property
     def conv(self) -> ConvSpec:
@@ -147,3 +149,21 @@ def forward_with_latent(params: dict, latent: jnp.ndarray,
     lat = pre_upsample(latent, cfg)
     stitched = cfg.conv.apply(params["stitch_conv"], lat)
     return stitched_forward(params, stitched, images, cfg, remat=remat)
+
+
+def forward_from_video(params: dict, video: jnp.ndarray,
+                       images: jnp.ndarray, cfg: StitchedConfig, *,
+                       key: jax.Array | None = None,
+                       remat: bool = True) -> EncoderOutput:
+    """StitchVAE3D.forward (`models/stitched_model.py:123-163`): pixel input
+    (B, 3, T, H, W) in [−1,1] → frozen Wan-VAE encode (posterior SAMPLE under
+    no_grad, `:133`; deterministic mode when `key` is None) → stitched
+    decoder.  Requires `params["vae"]` (see `vist3a_tpu.nn.wan_vae`).
+    """
+    from vist3a_tpu.nn import wan_vae
+
+    mu, logvar = wan_vae.encode(params["vae"], video, cfg.vae, remat=remat)
+    latent = wan_vae.sample_posterior(key, mu, logvar) if key is not None \
+        else mu
+    latent = jax.lax.stop_gradient(latent)   # VAE frozen, encode is no_grad
+    return forward_with_latent(params, latent, images, cfg, remat=remat)
