@@ -1,0 +1,125 @@
+"""UniPC flow sampler: analytic-ODE correctness + schedule parity checks.
+
+No in-env diffusers, so correctness is pinned against closed-form flow
+ODEs where the exact answer is known:
+
+  * delta target: v(x,σ) = (x−a)/σ integrates to x(0) = a exactly;
+  * Gaussian target: the deterministic flow maps ε ~ N(0,I) to N(m, s²) —
+    mean/std recovered over many seeds;
+  * order-2 convergence: error shrinks superlinearly with step count.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vist3a_tpu.diffusion import flow_match, unipc
+
+
+def test_flow_sigmas_shift_warp():
+    sig, ts = unipc.flow_sigmas(50, shift=3.0)
+    assert sig.shape == (51,) and sig[-1] == 0.0
+    # σ_max = 3·0.999/(1+2·0.999) just under 1 (never exactly 1: λ singular)
+    want_max = 3 * 0.999 / (1 + 2 * 0.999)
+    np.testing.assert_allclose(sig[0], want_max, rtol=1e-9)
+    # shift>1 pushes mass toward high sigma: midpoint above unwarped value
+    raw = np.linspace(1, 1 / 50, 50)[25]
+    assert sig[25] > raw
+    np.testing.assert_allclose(ts, sig[:-1] * 1000.0, rtol=1e-6)
+    # monotone decreasing
+    assert (np.diff(sig) < 0).all()
+
+
+def test_order_schedule():
+    assert unipc.order_schedule(6, 2) == [1, 2, 2, 2, 2, 1]
+
+
+def test_delta_target_recovered_exactly():
+    a = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((1, 4)).astype(np.float32)) * 2.0
+
+    def model_fn(x, t):
+        sigma = t / 1000.0
+        return (x - a) / jnp.float32(max(sigma, 1e-9))
+
+    eps = jax.random.normal(jax.random.key(1), (1, 4))
+    out = unipc.sample(model_fn, eps, unipc.UniPCConfig(num_steps=10,
+                                                        shift=3.0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(a),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_gaussian_target_statistics():
+    m, s = 1.5, 0.5
+
+    def model_fn(x, t):
+        sig = float(t) / 1000.0
+        A, B = 1.0 - sig, sig
+        var = A * A * s * s + B * B
+        return (B - A * s * s) / var * (x - A * m) - m
+
+    eps = jax.random.normal(jax.random.key(2), (4096,))
+    out = np.asarray(unipc.sample(
+        model_fn, eps, unipc.UniPCConfig(num_steps=25, shift=1.0)))
+    assert abs(out.mean() - m) < 0.02
+    assert abs(out.std() - s) < 0.02
+
+
+def test_second_order_beats_first_order():
+    """On a curved flow (Gaussian target), order-2 UniPC at N steps should
+    be much closer to the exact map than order-1 (Euler-like) at N steps."""
+    s = 0.3
+
+    def model_fn(x, t):
+        sig = float(t) / 1000.0
+        A, B = 1.0 - sig, sig
+        var = A * A * s * s + B * B
+        return (B - A * s * s) / var * x
+
+    eps = jax.random.normal(jax.random.key(3), (512,))
+    # exact linear-ODE map from σ_max (the grid starts below 1):
+    # trajectories scale with g(σ) = √((1−σ)²s² + σ²)
+    sig_max = float(unipc.flow_sigmas(16, 1.0)[0][0])
+
+    def g(sig):
+        return np.sqrt((1 - sig) ** 2 * s * s + sig ** 2)
+
+    exact = np.asarray(eps) * g(0.0) / g(sig_max)
+    out2 = np.asarray(unipc.sample(
+        model_fn, eps, unipc.UniPCConfig(num_steps=16, shift=1.0,
+                                         solver_order=2)))
+    out1 = np.asarray(unipc.sample(
+        model_fn, eps, unipc.UniPCConfig(num_steps=16, shift=1.0,
+                                         solver_order=1)))
+    e2 = np.abs(out2 - exact).mean()
+    e1 = np.abs(out1 - exact).mean()
+    assert e2 < e1 / 3, (e1, e2)
+
+
+def test_cfg_model_batches_pair():
+    calls = []
+
+    def dit_apply(x, ts, text):
+        calls.append((x.shape, text.shape))
+        return x * 0 + text.mean(axis=(1, 2))[:, None]
+
+    cond = jnp.ones((1, 3, 8))
+    uncond = jnp.zeros((1, 3, 8))
+    fn = unipc.cfg_model(dit_apply, cond, uncond, guidance_scale=5.0)
+    out = fn(jnp.zeros((1, 2)), 500.0)
+    assert calls[0][0] == (2, 2)                  # one batched CFG forward
+    np.testing.assert_allclose(np.asarray(out), 5.0)  # 0 + 5·(1−0)
+
+
+def test_flow_match_batch():
+    z0 = jax.random.normal(jax.random.key(4), (3, 16, 2, 4, 4))
+    z_sigma, ts, target = flow_match.make_flow_batch(jax.random.key(5), z0)
+    assert z_sigma.shape == z0.shape and ts.shape == (3,)
+    assert (np.asarray(ts) >= 0).all() and (np.asarray(ts) <= 1000).all()
+    # reconstruct: z_sigma − σ·target = (1−σ)z0 + σε − σ(ε−z0) = z0... no:
+    # z_sigma − σ·(ε−z0) = (1−σ)z0 + σz0 = z0  ✓
+    sig = np.asarray(ts)[:, None, None, None, None] / 1000.0
+    z0_back = np.asarray(z_sigma) - sig * np.asarray(target)
+    np.testing.assert_allclose(z0_back, np.asarray(z0), rtol=1e-4, atol=1e-5)

@@ -263,3 +263,42 @@ def import_wan_vae(sd, cfg=None) -> dict:
         "post_quant_conv": _conv3d_cl(sd, "post_quant_conv"),
         "decoder": decoder,
     }
+
+
+# --------------------------------------------------------------------------- #
+# UMT5 encoder (HF `UMT5EncoderModel`)                                        #
+# --------------------------------------------------------------------------- #
+def import_umt5(sd, num_layers: int) -> dict:
+    """HF UMT5EncoderModel state_dict → `vist3a_tpu.nn.umt5` tree."""
+    def tr(key):
+        return jnp.asarray(np.asarray(sd[key]).T)
+
+    layers = []
+    for i in range(num_layers):
+        p = f"encoder.block.{i}.layer"
+        # HF names the MLP "DenseReluDense" even when gated (wi_0/wi_1)
+        ff = ("DenseReluDense"
+              if f"{p}.1.DenseReluDense.wo.weight" in sd
+              else "DenseGatedActDense")
+        layers.append({
+            "ln1": _t(sd, f"{p}.0.layer_norm.weight"),
+            "q": tr(f"{p}.0.SelfAttention.q.weight"),
+            "k": tr(f"{p}.0.SelfAttention.k.weight"),
+            "v": tr(f"{p}.0.SelfAttention.v.weight"),
+            "o": tr(f"{p}.0.SelfAttention.o.weight"),
+            "rel_bias": _t(
+                sd, f"{p}.0.SelfAttention.relative_attention_bias.weight"),
+            "ln2": _t(sd, f"{p}.1.layer_norm.weight"),
+            "wi_0": tr(f"{p}.1.{ff}.wi_0.weight"),
+            "wi_1": tr(f"{p}.1.{ff}.wi_1.weight"),
+            "wo": tr(f"{p}.1.{ff}.wo.weight"),
+        })
+    import jax
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    embed_key = ("shared.weight" if "shared.weight" in sd
+                 else "encoder.embed_tokens.weight")
+    return {
+        "embed": _t(sd, embed_key),
+        "layers": stacked,
+        "final_ln": _t(sd, "encoder.final_layer_norm.weight"),
+    }
