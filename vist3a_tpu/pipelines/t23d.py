@@ -1,0 +1,154 @@
+"""Text → 3D-Gaussian-Splat inference pipeline.
+
+Parity target: `inference_t23d.py:51-166` — per prompt:
+  1. orbit prompt template + fixed negative prompt (verbatim strings below);
+  2. Wan denoise: 50-step UniPC flow sampler with CFG at 512², 13 frames,
+     seed 12413 (`:63`), latent output;
+  3. un-normalize latents by mean/std (`:105-113`), Wan-VAE decode to video;
+  4. trilinear (align_corners=FALSE, `:119-123`) resize to (T, 448, 448) as
+     the feedforward image;
+  5. stitched decoder `forward_with_latent` → Gaussians + context poses;
+  6. orbit video via camera interpolation + PLY export (DC only).
+
+Text embeddings come from `vist3a_tpu.nn.umt5`; tokenization is injected as
+a callable (ids, mask) so the HF tokenizer is only needed when real weights
+are in play.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from vist3a_tpu.diffusion import unipc
+from vist3a_tpu.nn import umt5 as umt5_mod
+from vist3a_tpu.nn import wan_dit, wan_vae
+from vist3a_tpu.stitch import chopped_anysplat as ca
+
+# `inference_t23d.py:88`
+ORBIT_PROMPT_TEMPLATE = (
+    "The camera rotates around the scene, maintaining constant distance: "
+    "`{prompt}`. The orbiting trajectory captures 3D structure and "
+    "consistency."
+)
+# `inference_t23d.py:90-92`
+NEGATIVE_PROMPT = (
+    "Background blur, Blurred background, Blurred scene, Artifacts, not "
+    "aesthetic, not realistic, rendered noise, low quality movement, low "
+    "quality video, low quality image, deformed, disfigured, distorted, "
+    "extra limbs, cloned face, skinny, glitchy, double torso, extra arms, "
+    "extra hands, mangled fingers, missing lips, ugly face, distorted legs, "
+    "fused fingers, too many fingers, long neck"
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class T23DConfig:
+    width: int = 512
+    height: int = 512
+    num_frames: int = 13
+    num_inference_steps: int = 50
+    guidance_scale: float = 5.0
+    flow_shift: float = 3.0
+    seed: int = 12413                       # `inference_t23d.py:63`
+    dit: wan_dit.WanDiTConfig = wan_dit.WAN_1_3B
+    umt5: umt5_mod.UMT5Config = umt5_mod.UMT5_XXL
+    vae: wan_vae.WanVAEConfig = wan_vae.WanVAEConfig()
+    stitched: ca.StitchedConfig = ca.StitchedConfig()
+    feedforward_size: int = 448
+
+    @property
+    def latent_shape(self) -> tuple:
+        t_lat = (self.num_frames - 1) // 4 + 1
+        return (1, 16, t_lat, self.height // 8, self.width // 8)
+
+
+def embed_prompts(umt5_params, tokenize: Callable, prompt: str,
+                  cfg: T23DConfig):
+    """tokenize(text) → (ids (1,226), mask (1,226)).  Returns (cond, uncond)
+    embeddings, orbit template + negative prompt applied."""
+    ids_c, mask_c = tokenize(ORBIT_PROMPT_TEMPLATE.format(prompt=prompt))
+    ids_u, mask_u = tokenize(NEGATIVE_PROMPT)
+    cond = umt5_mod.encode(umt5_params, jnp.asarray(ids_c),
+                           jnp.asarray(mask_c), cfg.umt5)
+    uncond = umt5_mod.encode(umt5_params, jnp.asarray(ids_u),
+                             jnp.asarray(mask_u), cfg.umt5)
+    return cond, uncond
+
+
+def denoise(dit_params, cond, uncond, cfg: T23DConfig,
+            key: jax.Array | None = None, *, latents0=None):
+    """UniPC CFG denoise loop → pipeline-space (normalized) latents."""
+    if latents0 is None:
+        key = jax.random.key(cfg.seed) if key is None else key
+        latents0 = jax.random.normal(key, cfg.latent_shape, jnp.float32)
+
+    dit_apply = jax.jit(
+        lambda x, ts, text: wan_dit.forward(dit_params, x, ts, text, cfg.dit,
+                                            remat=False))
+    model_fn = unipc.cfg_model(dit_apply, cond, uncond, cfg.guidance_scale)
+    return unipc.sample(
+        model_fn, latents0,
+        unipc.UniPCConfig(num_steps=cfg.num_inference_steps,
+                          shift=cfg.flow_shift))
+
+
+def resize_trilinear_half_pixel(video, size_hw: tuple[int, int]):
+    """F.interpolate(..., mode='trilinear', align_corners=False) for a
+    (B,3,T,H,W) video with T unchanged (`inference_t23d.py:118-123`):
+    half-pixel linear resize == jax.image.resize 'linear'."""
+    b, c, t, _, _ = video.shape
+    return jax.image.resize(video, (b, c, t, *size_hw), method="linear")
+
+
+def decode_and_reconstruct(params, latents_norm, cfg: T23DConfig, *,
+                           return_video: bool = True):
+    """params: {"vae", "stitch_conv", "encoder"}.  latents_norm: pipeline
+    output.  Returns (EncoderOutput, decoded video in [−1,1] or None)."""
+    latents = wan_vae.unnormalize_latents(latents_norm)
+    video = wan_vae.decode(params["vae"], latents, cfg.vae)
+    feedforward = resize_trilinear_half_pixel(
+        video, (cfg.feedforward_size, cfg.feedforward_size))
+    out = ca.forward_with_latent(params, latents, feedforward, cfg.stitched,
+                                 remat=False)
+    return out, (video if return_video else None)
+
+
+def export_artifacts(encoder_out, save_path: str, image_shape=(448, 448),
+                     *, orbit_t: int = 10):
+    """Orbit video (gs.mp4 + depth.mp4) and gaussians.ply, like
+    `inference_t23d.py:140-166`."""
+    import os
+
+    import numpy as np
+
+    from vist3a_tpu.io.ply_export import export_ply
+    from vist3a_tpu.io.video_export import save_interpolated_video
+
+    g = encoder_out.gaussians
+    paths = save_interpolated_video(
+        np.asarray(encoder_out.extrinsic_c2w),
+        np.asarray(encoder_out.intrinsic_norm), g, image_shape, save_path,
+        t=orbit_t)
+    ply_path = export_ply(
+        g.means[0], g.scales[0], g.rotations[0], g.harmonics[0],
+        g.opacities[0], os.path.join(save_path, "gaussians.ply"),
+        save_sh_dc_only=True)
+    return paths + (str(ply_path),)
+
+
+def text_to_3dgs(params: dict, tokenize: Callable, prompt: str,
+                 save_path: str, cfg: T23DConfig = T23DConfig(),
+                 key: jax.Array | None = None, *, orbit_t: int = 10):
+    """Full pipeline.  params: {"umt5", "dit", "vae", "stitch_conv",
+    "encoder"}.  Returns (EncoderOutput, artifact paths)."""
+    cond, uncond = embed_prompts(params["umt5"], tokenize, prompt, cfg)
+    latents_norm = denoise(params["dit"], cond, uncond, cfg, key)
+    out, _ = decode_and_reconstruct(params, latents_norm, cfg)
+    paths = export_artifacts(out, save_path,
+                             (cfg.feedforward_size, cfg.feedforward_size),
+                             orbit_t=orbit_t)
+    return out, paths
