@@ -1,0 +1,76 @@
+"""Entry point: text → 3DGS inference.
+
+Parity target: `inference_t23d.py:51-166` — prompt list sharded over
+processes (`prompt_list[rank::world]`, :62), fixed seed 12413, 50-step UniPC
+with `--flow_shift` and `--cfg_scale`, per-prompt output folder with
+prompt.txt, orbit gs.mp4 + depth.mp4, gaussians.ply (DC only).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+
+from vist3a_tpu.cli.arguments import inference_vist3a_argument
+from vist3a_tpu.pipelines import t23d
+
+
+def run(params: dict, tokenize, prompts: list[str], output_dir: str,
+        cfg: t23d.T23DConfig, *, process_index: int = 0,
+        process_count: int = 1, orbit_t: int = 10):
+    """Shard prompts over processes and run the pipeline per prompt."""
+    results = []
+    for prompt in prompts[process_index::process_count]:
+        save = Path(output_dir) / prompt[:100].replace("/", "")
+        save.mkdir(parents=True, exist_ok=True)
+        (save / "prompt.txt").write_text(prompt)
+        out, paths = t23d.text_to_3dgs(params, tokenize, prompt, str(save),
+                                       cfg, key=jax.random.key(cfg.seed),
+                                       orbit_t=orbit_t)
+        results.append((prompt, paths))
+    return results
+
+
+def main(args):
+    from transformers import AutoTokenizer
+
+    from vist3a_tpu.cli.model_loading import (load_stitched_model,
+                                              weights_root)
+    from vist3a_tpu.io import load_weights, weight_import
+    from vist3a_tpu.nn.umt5 import UMT5_XXL
+
+    root = weights_root(args)
+    params, scfg = load_stitched_model(args)
+    params["umt5"] = weight_import.import_umt5(
+        load_weights.load_sharded_safetensors(root / "umt5"),
+        UMT5_XXL.num_layers)
+    params["dit"] = weight_import.import_wan_dit(
+        load_weights.load_sharded_safetensors(root / "wan_dit"))
+    if getattr(args, "transformer_lora_path", None):
+        params["dit"] = weight_import.apply_peft_lora(
+            params["dit"],
+            load_weights.load_sharded_safetensors(args.transformer_lora_path))
+
+    tokenizer = AutoTokenizer.from_pretrained(str(root / "umt5"))
+
+    def tokenize(text):
+        enc = tokenizer([text], padding="max_length", max_length=226,
+                        truncation=True, add_special_tokens=True,
+                        return_attention_mask=True, return_tensors="np")
+        return enc["input_ids"], enc["attention_mask"]
+
+    with open(args.input_texts_path) as f:
+        prompts = [line.strip() for line in f if line.strip()]
+
+    cfg = t23d.T23DConfig(
+        num_frames=args.num_frames, flow_shift=args.flow_shift,
+        guidance_scale=float(str(args.cfg_scale).split(",")[0]),
+        stitched=scfg)
+    run(params, tokenize, prompts, args.output_dir, cfg,
+        process_index=jax.process_index(), process_count=jax.process_count())
+
+
+if __name__ == "__main__":
+    main(inference_vist3a_argument().parse_args())

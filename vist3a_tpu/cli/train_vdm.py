@@ -1,0 +1,153 @@
+"""Entry point: reward-aligned VDM fine-tuning.
+
+Parity target: `train_vdm.py:284-691` — the step loop over the prompt
+dataset with SFT clips from DL3DV+text, camera-prompt augmentation,
+per-`save_freq` VDM checkpoints, the non-finite-grad skip, EMA, and
+wandb-style metric emission (here: on_metrics callback + JSONL log).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vist3a_tpu.cli.arguments import training_vdm_argument, validate_vdm_args
+from vist3a_tpu.io import checkpoints as ckpt
+from vist3a_tpu.train import ema as ema_mod
+from vist3a_tpu.train import vdm
+
+
+def run(state, dit_params, vae_params, stitched_params, *, text_loader,
+        video_loader, embed_text, reward_loss_fn, dit_cfg, vae_cfg, scfg,
+        cfg: vdm.VDMTrainConfig, num_steps: int, save_path=None,
+        save_freq: int = 100, key=jax.random.key(23),
+        latent_shape=(1, 16, 4, 64, 64), render_size: int = 448,
+        on_metrics=None, uncond_embeds=None):
+    """The VDM loop.  embed_text(list[str]) → (B, L, text_dim) embeddings;
+    text_loader yields {"prompt": [str]}; video_loader yields
+    {"image_tensor": (B,3,T,H,W), "caption": [str]}."""
+    rng = np.random.default_rng(int(jax.random.randint(
+        key, (), 0, 2 ** 31)))
+    history = []
+    video_iter = iter(video_loader)
+    step = int(state.step)
+    while step < num_steps:
+        for text_batch in text_loader:
+            if step >= num_steps:
+                break
+            try:
+                video_batch = next(video_iter)
+            except StopIteration:
+                video_iter = iter(video_loader)
+                video_batch = next(video_iter)
+
+            prompt = text_batch["prompt"][0]
+            sft_text = embed_text(list(video_batch["caption"]))
+            rl_prompt = vdm.augment_camera_prompt(rng, prompt) \
+                if cfg.enable_rl else prompt
+            rl_cond = embed_text([rl_prompt])
+            rl_uncond = (uncond_embeds if uncond_embeds is not None
+                         else jnp.zeros_like(rl_cond))
+
+            state, metrics = vdm.vdm_train_step(
+                state, dit_params, vae_params, stitched_params,
+                video=jnp.asarray(video_batch["image_tensor"]),
+                sft_text=sft_text, rl_cond=rl_cond, rl_uncond=rl_uncond,
+                reward_loss_fn=reward_loss_fn, key=key, dit_cfg=dit_cfg,
+                vae_cfg=vae_cfg, scfg=scfg, cfg=cfg,
+                latent_shape=latent_shape, render_size=render_size)
+            step = int(state.step)
+            m = {k: float(v) for k, v in metrics.items()}
+            history.append({"step": step, "prompt": prompt, **m})
+            if on_metrics:
+                on_metrics(history[-1])
+            if save_path is not None and step % save_freq == 0:
+                ckpt.save_vdm_checkpoint(
+                    save_path, step, lora=state.lora,
+                    lora_ema=ema_mod.ema_params_like(state.ema, state.lora),
+                    opt_state=state.opt_state, ema_shadow=state.ema,
+                    meta={"step": step})
+    if save_path is not None:
+        Path(save_path).mkdir(parents=True, exist_ok=True)
+        (Path(save_path) / "history.jsonl").write_text(
+            "\n".join(json.dumps(h) for h in history))
+    return state, history
+
+
+def main(args):
+    from transformers import AutoTokenizer
+
+    from vist3a_tpu.cli.model_loading import (load_stitched_model,
+                                              weights_root)
+    from vist3a_tpu.data.loader import create_vdm_tuning_dataloader
+    from vist3a_tpu.io import load_weights, weight_import
+    from vist3a_tpu.nn import clip as clip_mod
+    from vist3a_tpu.nn import umt5 as umt5_mod
+    from vist3a_tpu.nn import wan_dit
+    from vist3a_tpu.nn.wan_vae import WanVAEConfig
+    from vist3a_tpu.train import reward as reward_mod
+
+    validate_vdm_args(training_vdm_argument(), args)
+    root = weights_root(args)
+
+    stitched, scfg = load_stitched_model(args)
+    dit = weight_import.import_wan_dit(
+        load_weights.load_sharded_safetensors(root / "wan_dit"))
+    umt5 = weight_import.import_umt5(
+        load_weights.load_sharded_safetensors(root / "umt5"),
+        umt5_mod.UMT5_XXL.num_layers)
+    tokenizer = AutoTokenizer.from_pretrained(str(root / "umt5"))
+
+    def embed_text(prompts):
+        enc = tokenizer(prompts, padding="max_length", max_length=226,
+                        truncation=True, add_special_tokens=True,
+                        return_attention_mask=True, return_tensors="np")
+        return umt5_mod.encode(umt5, jnp.asarray(enc["input_ids"]),
+                               jnp.asarray(enc["attention_mask"]))
+
+    reward_loss_fn = None
+    if args.enable_rl:
+        pick = clip_mod.import_hf_clip_vision(
+            load_weights.load_sharded_safetensors(root / "pickscore"),
+            clip_mod.CLIP_H_224.num_layers)
+        pe = clip_mod.import_open_clip_vision(
+            load_weights.load_sharded_safetensors(root / "dfn5b"),
+            clip_mod.DFN5B_H_378.num_layers)
+        # frozen text features of a generic prompt set would be recomputed
+        # per step on host in the reference; here precompute per prompt via
+        # the scorers' text towers offline and pass through — see
+        # train/reward.make_loss_fn.  For parity with the training loop the
+        # image features carry the gradient; text features come from the
+        # PickScore text tower run on host (out of scope of the hot path).
+        raise SystemExit(
+            "RL branch needs scorer TEXT features per prompt; precompute "
+            "them (PickScore/DFN5B text towers, host) into "
+            f"{root}/scorer_text.npz and re-run — see docs in "
+            "vist3a_tpu/train/reward.py")
+
+    datasets = [(n, str(p)) for n, p in args.dataset]
+    if args.text_dataset_path:
+        datasets.append(("text", args.text_dataset_path))
+    text_loader, _, video_loader, _ = create_vdm_tuning_dataloader(
+        datasets, args)
+
+    cfg = vdm.VDMTrainConfig(learning_rate=args.learning_rate,
+                             weight_decay=args.weight_decay,
+                             enable_rl=args.enable_rl)
+    state = vdm.init_train_state(jax.random.key(args.global_seed), dit, cfg)
+    run(state, dit, stitched["vae"], stitched, text_loader=text_loader,
+        video_loader=video_loader, embed_text=embed_text,
+        reward_loss_fn=reward_loss_fn, dit_cfg=wan_dit.WAN_1_3B,
+        vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
+        num_steps=args.num_epochs * len(video_loader),
+        save_path=args.save_path, save_freq=args.save_freq,
+        key=jax.random.key(args.global_seed))
+
+
+if __name__ == "__main__":
+    main(training_vdm_argument().parse_args())

@@ -76,3 +76,20 @@ def prune(tree):
 
 def param_count(tree) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(tree))
+
+
+def graft(tree, overrides):
+    """Overlay `overrides` leaves onto `tree` at matching paths (loaded
+    checkpoint values over base weights)."""
+    if overrides is None:
+        return tree
+    if _is_leaf(tree) or _is_leaf(overrides):
+        return overrides
+    if isinstance(tree, list):
+        ov = (overrides.get if isinstance(overrides, dict)
+              else lambda i: overrides[i] if i < len(overrides) else None)
+        return [graft(v, ov(i)) for i, v in enumerate(tree)]
+    out = dict(tree)
+    for k, v in overrides.items():
+        out[k] = graft(tree.get(k), v) if k in tree else v
+    return out

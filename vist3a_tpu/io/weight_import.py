@@ -302,3 +302,160 @@ def import_umt5(sd, num_layers: int) -> dict:
         "layers": stacked,
         "final_ln": _t(sd, "encoder.final_layer_norm.weight"),
     }
+
+
+# --------------------------------------------------------------------------- #
+# full model assembly + stitched-checkpoint import                            #
+# --------------------------------------------------------------------------- #
+def import_anysplat_encoder(sd, prefix: str = "encoder.") -> dict:
+    """Full EncoderAnySplat tree from the AnySplat hub checkpoint
+    (`lhjiang/anysplat` — prefixes `encoder.aggregator.*`,
+    `encoder.camera_head.*`, `encoder.depth_head.*`,
+    `encoder.gaussian_param_head.*`)."""
+    p = prefix
+    return {
+        "vit": import_vit(sd, f"{p}aggregator.patch_embed."),
+        "aggregator": import_aggregator(sd, f"{p}aggregator."),
+        "camera_head": import_camera_head(sd, f"{p}camera_head."),
+        "depth_head": import_dpt_head(sd, f"{p}depth_head."),
+        "gs_head": import_gs_head(sd, f"{p}gaussian_param_head."),
+    }
+
+
+def import_stitched_checkpoint(sd) -> dict:
+    """`stitched_model_epoch_N.pth` pieces (`model_stitching_training.py:
+    57-72`): {"lora": torch-LoRA state dict, "stitching_layer",
+    "mask_token", "cls_token", "register_tokens"} → framework trees.
+
+    Returns {"stitch_conv", "special", "lora"} where lora maps our tree
+    paths → {"a","b"} factors (torch lora_A/lora_B transposed); biases saved
+    under bias="lora_only" come along as {"b"/"bias"} leaf overrides."""
+    st = sd["stitching_layer"]
+    # ConvSpec keeps the torch OIDHW kernel layout natively — no transpose
+    out = {"stitch_conv": {"kernel": jnp.asarray(np.asarray(st["weight"])),
+                           "bias": jnp.asarray(np.asarray(st["bias"]))}}
+    out["special"] = {
+        "mask_token": _t(sd, "mask_token"),
+        "cls_token": _t(sd, "cls_token"),
+        "register_tokens": _t(sd, "register_tokens"),
+    }
+
+    # torch module names → our tree paths
+    def map_name(name: str):
+        name = name.replace("encoder.aggregator.patch_embed.",
+                            "encoder/vit/")
+        name = name.replace("encoder.aggregator.", "encoder/aggregator/")
+        name = name.replace("encoder.camera_head.", "encoder/camera_head/")
+        name = name.replace("encoder.depth_head.", "encoder/depth_head/")
+        name = name.replace("encoder.gaussian_param_head.",
+                            "encoder/gs_head/")
+        return name.replace(".", "/")
+
+    lora: dict = {}
+    for name, value in sd.get("lora", {}).items():
+        arr = np.asarray(value)
+        path = map_name(name)
+        if path.endswith("/lora_A"):
+            key, leaf = path[:-7], "a"
+            arr = arr.T
+        elif path.endswith("/lora_B"):
+            key, leaf = path[:-7], "b"
+            arr = arr.T
+        elif path.endswith("/bias"):
+            key, leaf = path[:-5], "bias"
+        else:
+            continue
+        lora.setdefault(key, {})[leaf] = jnp.asarray(arr)
+    out["lora"] = lora
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# Wan DiT (diffusers WanTransformer3DModel) + PEFT LoRA                       #
+# --------------------------------------------------------------------------- #
+def import_wan_dit(sd, num_layers: int | None = None) -> dict:
+    """diffusers `WanTransformer3DModel` state dict →
+    `vist3a_tpu.nn.wan_dit` tree."""
+    if num_layers is None:
+        num_layers = 1 + max(int(k.split(".")[1]) for k in sd
+                             if k.startswith("blocks."))
+
+    def attn(p):
+        return {
+            "q": _linear(sd, f"{p}.to_q"),
+            "k": _linear(sd, f"{p}.to_k"),
+            "v": _linear(sd, f"{p}.to_v"),
+            "o": _linear(sd, f"{p}.to_out.0"),
+            "norm_q": _t(sd, f"{p}.norm_q.weight"),
+            "norm_k": _t(sd, f"{p}.norm_k.weight"),
+        }
+
+    blocks = []
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        blocks.append({
+            "scale_shift_table":
+                jnp.asarray(np.asarray(sd[f"{p}.scale_shift_table"])
+                            .reshape(6, -1)),
+            "attn1": attn(f"{p}.attn1"),
+            "attn2": attn(f"{p}.attn2"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "ffn": {"fc1": _linear(sd, f"{p}.ffn.net.0.proj"),
+                    "fc2": _linear(sd, f"{p}.ffn.net.2")},
+        })
+    patch_w = np.asarray(sd["patch_embedding.weight"])   # (D,C,pt,ph,pw)
+    return {
+        "patch_embedding": {
+            "kernel": jnp.asarray(patch_w.transpose(2, 3, 4, 1, 0)),
+            "bias": _t(sd, "patch_embedding.bias")},
+        "time_embedder": {
+            "fc1": _linear(sd, "condition_embedder.time_embedder.linear_1"),
+            "fc2": _linear(sd, "condition_embedder.time_embedder.linear_2")},
+        "time_proj": _linear(sd, "condition_embedder.time_proj"),
+        "text_embedder": {
+            "fc1": _linear(sd, "condition_embedder.text_embedder.linear_1"),
+            "fc2": _linear(sd, "condition_embedder.text_embedder.linear_2")},
+        "blocks": stack_blocks(blocks),
+        "scale_shift_table":
+            jnp.asarray(np.asarray(sd["scale_shift_table"]).reshape(2, -1)),
+        "proj_out": _linear(sd, "proj_out"),
+    }
+
+
+def apply_peft_lora(dit_params: dict, lora_sd: dict, *, r: int = 8,
+                    alpha: int = 16) -> dict:
+    """Merge a PEFT LoRA adapter (`train_vdm.py:370-388` targets: attn
+    q/k/v/out of attn1+attn2) into imported DiT params.  PEFT names:
+    `base_model.model.blocks.{i}.attn1.to_q.lora_A.weight` (r,in) /
+    `lora_B.weight` (out,r)."""
+    import jax
+
+    scaling = alpha / r
+    name_map = {"to_q": "q", "to_k": "k", "to_v": "v", "to_out.0": "o",
+                "to_out": "o"}
+    out = dict(dit_params)
+
+    deltas: dict = {}
+    for key, val in lora_sd.items():
+        if ".lora_A." not in key and ".lora_B." not in key:
+            continue
+        k = key.replace("base_model.model.", "").replace(".weight", "")
+        part, ab = k.rsplit(".lora_", 1)
+        segs = part.split(".")
+        layer = int(segs[1])
+        attn = segs[2]
+        proj = name_map[".".join(segs[3:])]
+        deltas.setdefault((attn, proj), {}).setdefault(ab, {})[layer] = \
+            np.asarray(val)
+
+    new_blocks = dict(out["blocks"])
+    for (attn, proj), ab in deltas.items():
+        site = dict(new_blocks[attn])
+        w = np.array(site[proj]["w"])                    # (L, in, out) copy
+        for layer in ab.get("A", {}):
+            a = ab["A"][layer]                           # (r, in)
+            b = ab["B"][layer]                           # (out, r)
+            w[layer] = w[layer] + (b @ a).T * scaling
+        site[proj] = {**site[proj], "w": jnp.asarray(w)}
+        new_blocks[attn] = site
+    return {**out, "blocks": new_blocks}

@@ -394,6 +394,11 @@ def encode(params, video, cfg: WanVAEConfig = WanVAEConfig(), *, remat=False):
 
     `AutoencoderKLWan._encode` (`wan_utils.py:1021-1047`) without the chunk
     loop (full-sequence equivalence, see module docstring)."""
+    t = video.shape[2]
+    assert t % 4 == 1, (
+        f"Wan VAE needs T ≡ 1 (mod 4) frames, got {t} — the reference's "
+        "chunked encode silently DROPS frames beyond 1+4k "
+        "(`wan_utils.py:1027`); we refuse instead.")
     x = _to_channels_last(video)
     h = encoder_apply(params["encoder"], x, cfg, remat=remat)
     h = causal_conv3d(params["quant_conv"], h, pad=(0, 0, 0))

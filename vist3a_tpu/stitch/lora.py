@@ -213,3 +213,66 @@ def lora_bias_predicate(params, cfg: LoraConfig):
                 and path[:-1] in site_paths)
 
     return pred
+
+
+def lora_from_flat(flat: dict, params) -> dict:
+    """Flat {"path/with/slashes": {"a","b"[,"bias"]}} (e.g. from
+    `import_stitched_checkpoint`) → nested LoRA tree matching `params`,
+    stacking per-block entries onto the leading layer axis of `stack_init`
+    stacks (zero rows where a layer has no entry — chopped ViT blocks).
+
+    Returns (lora_tree, bias_overrides) — bias_overrides is a nested tree of
+    {"b"/"bias"} leaves to graft onto the base params (bias="lora_only"
+    checkpoints carry trained biases)."""
+    import re as _re
+
+    lora: dict = {}
+    biases: dict = {}
+
+    def set_path(tree, parts, leaf_key, value):
+        cur = tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur.setdefault(parts[-1], {})[leaf_key] = value
+
+    def site_shape(parts):
+        node = params
+        for p in parts:
+            node = node[int(p)] if isinstance(node, list) else node[p]
+        return node
+
+    def bias_leaf_key(site_parts):
+        node = site_shape(site_parts)
+        return "b" if isinstance(node, dict) and "w" in node else "bias"
+
+    for path, factors in flat.items():
+        parts = path.split("/")
+        # stacked block index: ".../blocks/{i}/..." or frame/global_blocks
+        m = None
+        for i, p in enumerate(parts):
+            if p.endswith("blocks") or p == "trunk":
+                if i + 1 < len(parts) and parts[i + 1].isdigit():
+                    m = (i, int(parts[i + 1]))
+                break
+        if m is None:
+            for leaf, v in factors.items():
+                if leaf in ("a", "b"):
+                    set_path(lora, parts, leaf, v)
+                else:
+                    set_path(biases, parts, bias_leaf_key(parts), v)
+            continue
+        bi, layer = m
+        site = parts[:bi + 1] + parts[bi + 2:]
+        node = site_shape(site)
+        n_layers = jax.tree_util.tree_leaves(node)[0].shape[0]
+        for leaf, v in factors.items():
+            cur = lora if leaf in ("a", "b") else biases
+            for p in site[:-1]:
+                cur = cur.setdefault(p, {})
+            slot = cur.setdefault(site[-1], {})
+            lk = leaf if leaf in ("a", "b") else bias_leaf_key(site)
+            if lk not in slot:
+                row_shape = v.shape
+                slot[lk] = jnp.zeros((n_layers, *row_shape), v.dtype)
+            slot[lk] = slot[lk].at[layer].set(v)
+    return lora, biases
