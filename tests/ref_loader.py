@@ -48,7 +48,12 @@ _STUBS = ("dacite", "gsplat", "torch_scatter", "lpips", "wandb", "loguru",
 def _ensure_stub(name):
     if name in sys.modules:
         return
+    import importlib.machinery
+
     mod = types.ModuleType(name)
+    # a real ModuleSpec so importlib.util.find_spec (e.g. transformers'
+    # wandb integration probe) doesn't choke on the stub
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     if name == "loguru":
         class _L:
             def __getattr__(self, k):
