@@ -314,8 +314,13 @@ def flash_attention(
     scale = d ** -0.5 if scale is None else scale
 
     d_pad = max(128, _cdiv(d, 128) * 128)
-    bq = min(block_q, _cdiv(n_q, 128) * 128)
-    bk = min(block_k, _cdiv(n_k, 128) * 128)
+    # Short sequences become ONE rounded block instead of padding up to the
+    # default block size (N=1029 with block 1024 would pad to 2048 — ~4× QK
+    # waste at the VGGT frame-attention shape).
+    n_q128 = _cdiv(n_q, 128) * 128
+    n_k128 = _cdiv(n_k, 128) * 128
+    bq = n_q128 if n_q128 <= block_q + 256 else block_q
+    bk = n_k128 if n_k128 <= block_k + 256 else block_k
 
     def to_bh(x, n):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, n, d)

@@ -39,7 +39,10 @@ from vist3a_tpu.nn.layers import (
     scan_blocks,
 )
 
-_P = "highest"
+# "high" = bf16x3 (~14 mantissa bits): faster than exact-fp32 6-pass and
+# still MORE precise than the reference's effective precision — torch runs
+# these "fp32" head convs under cuDNN TF32 (10 mantissa bits) by default
+_P = "high"
 
 
 # --------------------------------------------------------------------------- #
