@@ -123,3 +123,44 @@ def test_flow_match_batch():
     sig = np.asarray(ts)[:, None, None, None, None] / 1000.0
     z0_back = np.asarray(z_sigma) - sig * np.asarray(target)
     np.testing.assert_allclose(z0_back, np.asarray(z0), rtol=1e-4, atol=1e-5)
+
+
+def test_sample_scan_matches_loop():
+    """The single-scan sampler must reproduce the host-loop sampler
+    exactly (same schedule, same updates)."""
+    s = 0.4
+
+    def model_fn(x, t):
+        sig = t / 1000.0
+        A, B = 1.0 - sig, sig
+        var = A * A * s * s + B * B
+        return (B - A * s * s) / var * x
+
+    eps = jax.random.normal(jax.random.key(11), (64,))
+    for n in (1, 2, 3, 10, 25):
+        cfg = unipc.UniPCConfig(num_steps=n, shift=3.0)
+        a = np.asarray(unipc.sample(model_fn, eps, cfg))
+        b = np.asarray(unipc.sample_scan(model_fn, eps, cfg))
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-5), n
+
+
+def test_sample_scan_backprop_mask():
+    """Gradient flows only through masked-in steps (truncated rollout)."""
+    w = jnp.float32(1.3)
+
+    def model_fn_factory(w):
+        def model_fn(x, t):
+            return w * x
+        return model_fn
+
+    eps = jax.random.normal(jax.random.key(12), (8,))
+    cfg = unipc.UniPCConfig(num_steps=6, shift=1.0)
+
+    def out(w, mask):
+        return jnp.sum(unipc.sample_scan(model_fn_factory(w), eps, cfg,
+                                         backprop_mask=mask))
+
+    g_none = jax.grad(out)(w, jnp.zeros(6))
+    g_some = jax.grad(out)(w, jnp.asarray([0, 0, 1, 0, 0, 1], jnp.float32))
+    assert float(jnp.abs(g_none)) == 0.0
+    assert float(jnp.abs(g_some)) > 0.0

@@ -212,3 +212,108 @@ def cfg_model(dit_apply: Callable, cond, uncond, guidance_scale: float):
         v_u, v_c = jnp.split(v, 2, axis=0)
         return v_u + guidance_scale * (v_c - v_u)
     return model_fn
+
+
+# --------------------------------------------------------------------------- #
+# scan form: ONE jit for the whole denoise loop                               #
+# --------------------------------------------------------------------------- #
+def precompute_coeffs(cfg: UniPCConfig):
+    """All per-step UniPC scalars as arrays (host float64 → float32).
+
+    The order-2 updates with zeroed history coefficients reduce EXACTLY to
+    the order-1 updates (D1s = 0 ⇒ pred_res/corr_res = 0), so one scan body
+    covers the whole schedule:
+
+      predictor: x_{i+1} = P_cx·x − P_cm0·m_i − P_cd1·(m_{i−1} − m_i)
+      corrector: x_i ← C_cx·x_{i−1}ˢ − C_cm0·m_{i−1}
+                        − C_hist·(m_{i−2} − m_{i−1}) − C_new·(mᵗ − m_{i−1})
+    """
+    sigmas, timesteps = flow_sigmas(cfg.num_steps, cfg.shift,
+                                    cfg.num_train_timesteps)
+    orders = order_schedule(cfg.num_steps, cfg.solver_order)
+    n = cfg.num_steps
+    P_cx = np.zeros(n)
+    P_cm0 = np.zeros(n)
+    P_cd1 = np.zeros(n)
+    C_cx = np.zeros(n)
+    C_cm0 = np.zeros(n)
+    C_hist = np.zeros(n)
+    C_new = np.zeros(n)
+
+    for i in range(n):
+        sig_t, sig_s0 = float(sigmas[i + 1]), float(sigmas[i])
+        a_t, s_t = _alpha_sigma(sig_t)
+        _, s_s0 = _alpha_sigma(sig_s0)
+        lam_t, lam_s0 = _lambda(sig_t), _lambda(sig_s0)
+        h = lam_t - lam_s0
+        hh = -h
+        phi1 = math.expm1(hh)
+        b_h = math.expm1(hh)
+        P_cx[i] = s_t / s_s0
+        P_cm0[i] = a_t * phi1
+        if orders[i] >= 2:
+            rk = (_lambda(float(sigmas[i - 1])) - lam_s0) / h
+            P_cd1[i] = a_t * b_h * 0.5 / rk
+
+        if i == 0:
+            C_cx[i] = 1.0      # identity corrector at the first step
+            continue
+        c_order = orders[i - 1]
+        sig_ct, sig_cs0 = float(sigmas[i]), float(sigmas[i - 1])
+        a_ct, s_ct = _alpha_sigma(sig_ct)
+        _, s_cs0 = _alpha_sigma(sig_cs0)
+        lam_ct, lam_cs0 = _lambda(sig_ct), _lambda(sig_cs0)
+        hc = lam_ct - lam_cs0
+        phi1c = math.expm1(-hc)
+        b_hc = math.expm1(-hc)
+        C_cx[i] = s_ct / s_cs0
+        C_cm0[i] = a_ct * phi1c
+        if c_order == 1:
+            C_new[i] = a_ct * b_hc * 0.5
+        else:
+            rk_c = (_lambda(float(sigmas[i - 2])) - lam_cs0) / hc
+            _, b_vec, _, _ = _uni_bh_coeffs(hc, [rk_c, 1.0], 2)
+            rhos = np.linalg.solve(np.stack([np.ones(2),
+                                             np.asarray([rk_c, 1.0])]),
+                                   b_vec)
+            C_hist[i] = a_ct * b_hc * rhos[0] / rk_c
+            C_new[i] = a_ct * b_hc * rhos[1]
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32)  # noqa: E731
+    return {
+        "timesteps": f32(timesteps), "sigmas": f32(sigmas[:-1]),
+        "P_cx": f32(P_cx), "P_cm0": f32(P_cm0), "P_cd1": f32(P_cd1),
+        "C_cx": f32(C_cx), "C_cm0": f32(C_cm0), "C_hist": f32(C_hist),
+        "C_new": f32(C_new),
+    }
+
+
+def sample_scan(model_fn: Callable, latents: jnp.ndarray,
+                cfg: UniPCConfig = UniPCConfig(), *,
+                backprop_mask: jnp.ndarray | None = None):
+    """`sample` as ONE `lax.scan` — the TPU-serving form: a single compiled
+    program per num_steps instead of a host loop of dispatches.
+
+    backprop_mask: optional (num_steps,) 0/1 floats — gradient flows through
+    the model output of step i iff mask[i]=1 (the VDM truncated rollout,
+    `train_vdm.py:586-623`); the model INPUT is always stop-gradiented."""
+    coeffs = precompute_coeffs(cfg)
+    if backprop_mask is None:
+        backprop_mask = jnp.ones((cfg.num_steps,), jnp.float32)
+    xs = {**coeffs, "bp": backprop_mask.astype(jnp.float32)}
+
+    def body(carry, per):
+        x, last, m1, m2 = carry
+        v = model_fn(jax.lax.stop_gradient(x), per["timesteps"])
+        v = per["bp"] * v + (1.0 - per["bp"]) * jax.lax.stop_gradient(v)
+        m_this = x - per["sigmas"] * v
+        x_c = (per["C_cx"] * last - per["C_cm0"] * m1
+               - per["C_hist"] * (m2 - m1) - per["C_new"] * (m_this - m1))
+        x_next = (per["P_cx"] * x_c - per["P_cm0"] * m_this
+                  - per["P_cd1"] * (m1 - m_this))
+        return (x_next, x_c, m_this, m1), None
+
+    zeros = jnp.zeros_like(latents)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (latents, latents, zeros, zeros), xs)
+    return x

@@ -81,19 +81,28 @@ def embed_prompts(umt5_params, tokenize: Callable, prompt: str,
 
 def denoise(dit_params, cond, uncond, cfg: T23DConfig,
             key: jax.Array | None = None, *, latents0=None):
-    """UniPC CFG denoise loop → pipeline-space (normalized) latents."""
+    """UniPC CFG denoise → pipeline-space (normalized) latents.
+
+    The WHOLE 50-step loop is one `lax.scan` jit (`unipc.sample_scan`) —
+    a single compiled program instead of 50 host dispatches."""
     if latents0 is None:
         key = jax.random.key(cfg.seed) if key is None else key
         latents0 = jax.random.normal(key, cfg.latent_shape, jnp.float32)
 
-    dit_apply = jax.jit(
-        lambda x, ts, text: wan_dit.forward(dit_params, x, ts, text, cfg.dit,
-                                            remat=False))
-    model_fn = unipc.cfg_model(dit_apply, cond, uncond, cfg.guidance_scale)
-    return unipc.sample(
-        model_fn, latents0,
-        unipc.UniPCConfig(num_steps=cfg.num_inference_steps,
-                          shift=cfg.flow_shift))
+    ucfg = unipc.UniPCConfig(num_steps=cfg.num_inference_steps,
+                             shift=cfg.flow_shift)
+
+    @jax.jit
+    def run(dit_params, latents0, cond, uncond):
+        def dit_apply(x, ts, text):
+            return wan_dit.forward(dit_params, x, ts, text, cfg.dit,
+                                   remat=False)
+
+        model_fn = unipc.cfg_model(dit_apply, cond, uncond,
+                                   cfg.guidance_scale)
+        return unipc.sample_scan(model_fn, latents0, ucfg)
+
+    return run(dit_params, latents0, cond, uncond)
 
 
 def resize_trilinear_half_pixel(video, size_hw: tuple[int, int]):

@@ -125,42 +125,24 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
     LoRA through the chosen steps' outputs and the scheduler's affine chain.
     """
     chosen = set(int(i) for i in backprop_steps) | {num_steps - 1}
+    mask = jnp.asarray([1.0 if i in chosen else 0.0
+                        for i in range(num_steps)], jnp.float32)
 
-    def dit_apply(x, ts, text):
-        return wan_dit.forward(dit_params_merged, x, ts, text, dit_cfg,
-                               remat=True)
+    def model_fn(x, t):
+        # input always detached (z_in.detach()); output gating by the
+        # backprop mask happens inside sample_scan
+        x2 = jnp.concatenate([x, x], axis=0)
+        text = jnp.concatenate([cond, uncond], axis=0)
+        ts = jnp.full((x2.shape[0],), t, jnp.float32)
+        v = wan_dit.forward(dit_params_merged, x2, ts, text, dit_cfg,
+                            remat=True)
+        v_c, v_u = jnp.split(v, 2, axis=0)
+        return v_u + guidance_scale * (v_c - v_u)
 
-    def model_fn_for(i):
-        def model_fn(x, t):
-            x = jax.lax.stop_gradient(x)          # z_in.detach()
-            x2 = jnp.concatenate([x, x], axis=0)
-            text = jnp.concatenate([cond, uncond], axis=0)
-            ts = jnp.full((x2.shape[0],), t, jnp.float32)
-            v = dit_apply(x2, ts, text)
-            v_c, v_u = jnp.split(v, 2, axis=0)
-            v = v_u + guidance_scale * (v_c - v_u)
-            if i not in chosen:
-                v = jax.lax.stop_gradient(v)
-            return v
-        return model_fn
-
-    sigmas, timesteps = unipc.flow_sigmas(num_steps, flow_shift)
-    orders = unipc.order_schedule(num_steps, 2)
-    m_hist: list = []
-    last_sample = None
-    x = latents0
-    for i in range(num_steps):
-        v = model_fn_for(i)(x, float(timesteps[i]))
-        m_this = unipc.convert_flow_output(x, v, float(sigmas[i]))
-        if i > 0 and last_sample is not None:
-            x = unipc.unipc_c_update(m_this, m_hist, last_sample, sigmas, i,
-                                     orders[i - 1])
-        m_hist.append(m_this)
-        if len(m_hist) > 2:
-            m_hist.pop(0)
-        last_sample = x
-        x = unipc.unipc_p_update(m_hist, x, sigmas, i, orders[i])
-    return x
+    return unipc.sample_scan(
+        model_fn, latents0,
+        unipc.UniPCConfig(num_steps=num_steps, shift=flow_shift),
+        backprop_mask=mask)
 
 
 # --------------------------------------------------------------------------- #
