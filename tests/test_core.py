@@ -48,3 +48,35 @@ def test_synced_randomness_is_deterministic():
     p2 = synced_perm_take(key, 5, 50, 2)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     assert len(set(np.asarray(p1).tolist())) == 2
+
+
+def test_fsdp_shardings(mesh8):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vist3a_tpu.core.mesh import fsdp_shardings, shard_params
+    from vist3a_tpu.nn import wan_dit
+
+    cfg = wan_dit.WanDiTConfig(dim=64, ffn_dim=128, num_layers=2,
+                               num_heads=4, freq_dim=32, text_dim=24)
+    params = wan_dit.init(jax.random.key(0), cfg)
+    want = wan_dit.forward(params,
+                           jax.random.normal(jax.random.key(1),
+                                             (1, 16, 2, 8, 8)),
+                           jnp.asarray([500.0]),
+                           jax.random.normal(jax.random.key(2), (1, 5, 24)),
+                           cfg)
+
+    shardings = fsdp_shardings(params, mesh8, min_size=64)
+    sharded = shard_params(params, shardings)
+    # big leaves actually sharded over the data axis
+    blocks_w = sharded["blocks"]["ffn"]["fc1"]["w"]
+    assert not blocks_w.sharding.is_fully_replicated
+    got = wan_dit.forward(sharded,
+                          jax.random.normal(jax.random.key(1),
+                                            (1, 16, 2, 8, 8)),
+                          jnp.asarray([500.0]),
+                          jax.random.normal(jax.random.key(2), (1, 5, 24)),
+                          cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
