@@ -291,6 +291,20 @@ def _chunk_alpha(attrs, px, py):
     return alpha, sigma, a_raw, ok, dx, dy
 
 
+def _prefix_sum(x):
+    """Inclusive prefix sum along axis 1 as a triangular matmul.
+
+    `jnp.cumsum` has no Pallas-TPU lowering (mosaic KernelType.TC); an
+    (N,C)·(C,C) upper-triangular-ones dot is the MXU-native equivalent and
+    runs at matmul speed for the chunk sizes used here."""
+    c = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    tri = (row <= col).astype(x.dtype)
+    return jax.lax.dot_general(x, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _transmittance(alpha, t_carry, done):
     """Within-chunk transmittance via log-space cumsum.
 
@@ -301,7 +315,7 @@ def _transmittance(alpha, t_carry, done):
     resurrection by a later low-α Gaussian.
     """
     lg = jnp.log1p(-alpha)
-    cs = jnp.cumsum(lg, axis=1)
+    cs = _prefix_sum(lg)
     t_incl = jnp.exp(cs) * t_carry
     t_excl = jnp.exp(cs - lg) * t_carry
     live = (t_incl >= T_EPS) & (done < 0.5)
@@ -339,9 +353,9 @@ def _fwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_ref, acc, t_s, *,
 
     @pl.when(cl_ref[c] == 1)
     def _():
-        out = acc[:]
-        out = out.at[:, 5].set(t_s[:, 0])
-        out_ref[0] = out
+        # write T_N into channel 5 (no in-kernel scatter on TPU: iota mask)
+        col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
+        out_ref[0] = jnp.where(col == 5, t_s[:, 0:1], acc[:])
 
 
 def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
@@ -374,7 +388,7 @@ def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
             g_out, payload, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (PIX, C)
         q = w * gp
-        q_incl = jnp.cumsum(q, axis=1) + q_s[:, 0:1]
+        q_incl = _prefix_sum(q) + q_s[:, 0:1]
         # Σ_{j>i} w_j·gp_j = (tile total from saved output) − prefix_incl_i
         o_total = jnp.sum(g_out[:, :5] * out[:, :5], axis=1, keepdims=True)
         g5_tn = g_out[:, 5:6] * out[:, 5:6]                # cotangent via T_N
@@ -401,12 +415,10 @@ def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
             g_out, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (8, C)
 
-        d = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
-        d = d.at[0, :].set(dmx).at[1, :].set(dmy)
-        d = d.at[2, :].set(da).at[3, :].set(db).at[4, :].set(dc)
-        d = d.at[5, :].set(dop)
-        d = d.at[6:14, :].set(dpayload)
-        dattrs_ref[:] = d
+        # assemble (ATTR_ROWS, C) without scatter: stack + concat on sublanes
+        top = jnp.stack([dmx, dmy, da, db, dc, dop], axis=0)   # (6, C)
+        tail = jnp.zeros((ATTR_ROWS - 14, CHUNK), jnp.float32)
+        dattrs_ref[:] = jnp.concatenate([top, dpayload, tail], axis=0)
 
         t_s[:, 0:1] = t_new
         t_s[:, 1:2] = done
