@@ -141,3 +141,28 @@ def test_pre_upsample_matches_torch(rng):
         torch.from_numpy(x), size=[13, 16, 16], mode="trilinear",
         align_corners=True).numpy()
     np.testing.assert_allclose(np.asarray(got2), want2, atol=1e-5)
+
+
+def test_point_head_branch():
+    """pred_head_type="point" (`anysplat.py:108,428-433`): DPT xyz head
+    replaces depth+unprojection; depth output is the points' z."""
+    d = 32
+    cfg = tiny_encoder_cfg(
+        pred_head_type="point",
+        point=DPTConfig(dim_in=2 * d, features=16,
+                        out_channels=(8, 16, 16, 16), head2_features=8,
+                        activation="inv_log", conf_activation="expp1",
+                        output_dim=4),
+    )
+    params = enc_mod.init(jax.random.key(0), cfg)
+    assert "point_head" in params
+    b, s, h = 1, 3, 56
+    images = jax.random.uniform(jax.random.key(1), (b, s, 3, h, h))
+    out = jax.jit(lambda p, x: enc_mod.forward(p, x, cfg))(params, images)
+    assert out.depth.shape == (b, s, h, h, 1)
+    assert out.depth_conf.shape == (b, s, h, h)
+    means = np.asarray(out.gaussians.means).reshape(b, s, h, h, 3)
+    np.testing.assert_allclose(np.asarray(out.depth[..., 0]),
+                               means[..., 2], rtol=2e-5, atol=1e-6)
+    # inv_log activation: conf = 1 + exp(raw) > 1 everywhere
+    assert float(out.depth_conf.min()) > 1.0

@@ -313,13 +313,18 @@ def import_anysplat_encoder(sd, prefix: str = "encoder.") -> dict:
     `encoder.camera_head.*`, `encoder.depth_head.*`,
     `encoder.gaussian_param_head.*`)."""
     p = prefix
-    return {
+    out = {
         "vit": import_vit(sd, f"{p}aggregator.patch_embed."),
         "aggregator": import_aggregator(sd, f"{p}aggregator."),
         "camera_head": import_camera_head(sd, f"{p}camera_head."),
         "depth_head": import_dpt_head(sd, f"{p}depth_head."),
         "gs_head": import_gs_head(sd, f"{p}gaussian_param_head."),
     }
+    # VGGT-1B ships a point head (`anysplat.py:153`); import it when the
+    # checkpoint carries one so `pred_head_type="point"` works out of the box.
+    if any(k.startswith(f"{p}point_head.") for k in sd):
+        out["point_head"] = import_dpt_head(sd, f"{p}point_head.")
+    return out
 
 
 def import_stitched_checkpoint(sd) -> dict:

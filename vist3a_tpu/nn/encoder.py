@@ -62,9 +62,15 @@ class EncoderConfig:
     agg: agg_mod.AggregatorConfig = agg_mod.AggregatorConfig()
     camera: CameraHeadConfig = CameraHeadConfig()
     depth: DPTConfig = DPTConfig(activation="exp", conf_activation="expp1")
+    # point head: DPT predicting xyz directly (`anysplat.py:428-433`;
+    # VGGT-1B `point_head` = DPTHead(output_dim=4, activation="inv_log"))
+    point: DPTConfig = DPTConfig(activation="inv_log",
+                                 conf_activation="expp1", output_dim=4)
     gs: GSHeadConfig = GSHeadConfig(output_dim=84, head2_features=128,
                                     pos_embed=False)
     sh_degree: int = 4
+    # "depth" (deployed VIST3A path) or "point" (`anysplat.py:108,428-443`)
+    pred_head_type: str = "depth"
     render_conf: bool = True
     conf_threshold: float = 0.1
     opacity_conf: bool = False
@@ -90,14 +96,17 @@ class EncoderOutput(NamedTuple):
 
 def init(key: jax.Array, cfg: EncoderConfig = EncoderConfig(),
          dtype=jnp.float32) -> dict:
-    keys = jax.random.split(key, 5)
-    return {
+    keys = jax.random.split(key, 6)
+    params = {
         "vit": vit_mod.init(keys[0], cfg.vit, dtype),
         "aggregator": agg_mod.init(keys[1], cfg.agg, dtype),
         "camera_head": camera_head_init(keys[2], cfg.camera, dtype),
         "depth_head": dpt_init(keys[3], cfg.depth, dtype),
         "gs_head": gs_head_init(keys[4], cfg.gs, dtype),
     }
+    if cfg.pred_head_type == "point":
+        params["point_head"] = dpt_init(keys[5], cfg.point, dtype)
+    return params
 
 
 def cast_trunk_bf16(params: dict) -> dict:
@@ -133,10 +142,20 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
     last_pose_enc = pose_enc_list[-1]
     extrinsic, intrinsic = pose_encoding_to_extri_intri(last_pose_enc, (h, w))
 
-    # depth → world points
-    depth, depth_conf = dpt_apply(params["depth_head"], taps, (h, w), psi,
-                                  cfg.depth, (b, s))
-    pts = unproject_depth(depth, extrinsic, intrinsic)        # (B,S,H,W,3)
+    if cfg.pred_head_type == "point":
+        # point head predicts xyz directly (`anysplat.py:428-433`).  The
+        # reference leaves `depth_conf` undefined on this branch (it would
+        # crash under `render_conf`); we define it as the point confidence
+        # and report depth as the points' z (documented deviation — the
+        # only self-consistent completion of the reference behavior).
+        pts, depth_conf = dpt_apply(params["point_head"], taps, (h, w), psi,
+                                    cfg.point, (b, s))       # (B,S,H,W,3)
+        depth = pts[..., 2:3]
+    else:
+        # depth → world points (deployed path, `anysplat.py:434-443`)
+        depth, depth_conf = dpt_apply(params["depth_head"], taps, (h, w),
+                                      psi, cfg.depth, (b, s))
+        pts = unproject_depth(depth, extrinsic, intrinsic)    # (B,S,H,W,3)
 
     # confidence mask (global quantile over all views/pixels)
     if cfg.render_conf:
