@@ -187,14 +187,24 @@ def _run_lookup(offsets, size):
     return jnp.cumsum(marker) - 1
 
 
-def build_pairs(proj: Projected, ntx, nty, pair_budget):
+def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     """(gaussian, tile) pair list, sorted by (tile, depth), chunk-padded.
 
     Returns (gid_final (P2,) int32 [-1 = padding], chunk_tile/first/last
-    (n_chunks,) int32) with P2 = pair_budget + n_tiles·CHUNK static.
+    (n_chunks,) int32, order) with P2 = pair_budget + n_tiles·CHUNK static.
+    When `order` is not None the gid values index gaussians in depth order
+    `order` (the caller pre-permutes its attribute table by it — a cheap
+    G-sized row gather that lets the P-sized pipeline drop a gather).
+
+    Every P-sized gather/scatter here costs ~100 ms at 10M pairs on v5e, so
+    the pipeline is arranged to touch the slot space as few times as
+    possible: one packed-meta gather, one offsets gather, one single-key
+    sort, one output scatter; tile segment boundaries come from binary
+    searches on the sorted keys instead of a segment-sum.
     """
     n_tiles = ntx * nty
     g = proj.depth.shape[0]
+    valid = proj.valid if extra_valid is None else proj.valid & extra_valid
 
     mx, my = proj.mean2d[:, 0], proj.mean2d[:, 1]
     r = proj.radius
@@ -202,43 +212,100 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget):
     x1 = jnp.clip(jnp.ceil((mx + r) / TILE), 0, ntx).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((my - r) / TILE), 0, nty).astype(jnp.int32)
     y1 = jnp.clip(jnp.ceil((my + r) / TILE), 0, nty).astype(jnp.int32)
-    w = jnp.where(proj.valid, x1 - x0, 0)
-    h = jnp.where(proj.valid, y1 - y0, 0)
+    w = jnp.where(valid, x1 - x0, 0)
+    h = jnp.where(valid, y1 - y0, 0)
     n_per_g = w * h
-
-    offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(n_per_g)]).astype(jnp.int32)
-    total = offsets[g]
 
     p1 = pair_budget
     slot = jnp.arange(p1, dtype=jnp.int32)
-    gid = _run_lookup(offsets, p1)
-    gid_c = jnp.clip(gid, 0, g - 1)
-    rank = slot - offsets[gid_c]
-    wg = jnp.maximum(w[gid_c], 1)
-    dy, dx = rank // wg, rank % wg
-    tile = (y0[gid_c] + dy) * ntx + (x0[gid_c] + dx)
-    pair_ok = (slot < total) & (gid >= 0) & (rank < n_per_g[gid_c])
-    tile = jnp.where(pair_ok, tile, n_tiles)          # sentinel sorts last
-    depth_key = jnp.where(pair_ok, proj.depth[gid_c], jnp.inf)
 
-    tile_s, _, gid_s = jax.lax.sort(
-        (tile, depth_key.astype(jnp.float32), gid_c), num_keys=2)
+    # (tile, depth) ordering.  When tile and a per-gaussian depth *rank* fit
+    # in one 32-bit key, pre-sort the gaussians by depth (their index THEN
+    # IS the depth rank) and sort pairs by the single packed key; ties
+    # become deterministic, which gsplat leaves implementation-defined
+    # anyway.
+    rank_bits = max((g - 1).bit_length(), 1)
+    tile_bits = n_tiles.bit_length()
+    w_bits = (ntx + 1).bit_length()
+    np_bits = ((ntx + 1) * (nty + 1)).bit_length()
+    packed = (rank_bits + tile_bits <= 32
+              and tile_bits + w_bits + np_bits <= 31)
+    if packed:
+        # Pack the per-gaussian fields the expansion needs — base tile, bbox
+        # width, pair count — into ONE int32 (G-sized elementwise), permute
+        # into depth order, and expand with 2 gathers; integer div/mod (no
+        # TPU hardware) becomes an fp32 divide (+0.5 nudge keeps floor
+        # exact for rank < n_per_g ≤ ~2¹¹ ≪ 2²³).
+        order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf))
+        base = y0 * ntx + x0
+        meta = ((base << (w_bits + np_bits)) | (w << np_bits) | n_per_g)
+        meta_o = meta[order]
+        offsets = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(n_per_g[order])]).astype(jnp.int32)
+        total = offsets[g]
+        gid = _run_lookup(offsets, p1)
+        gid_c = jnp.clip(gid, 0, g - 1)
+
+        # single row gather for both per-gaussian words (8B contiguous)
+        tab = jnp.stack([meta_o, offsets[:g]], axis=1)
+        tab_s = tab[gid_c]
+        meta_s = tab_s[:, 0]
+        off_s = tab_s[:, 1]
+        np_p = meta_s & ((1 << np_bits) - 1)
+        w_p = (meta_s >> np_bits) & ((1 << w_bits) - 1)
+        base_p = meta_s >> (w_bits + np_bits)
+
+        rank = slot - off_s
+        wg = jnp.maximum(w_p, 1)
+        dy = jnp.floor((rank.astype(jnp.float32) + 0.5)
+                       / wg.astype(jnp.float32)).astype(jnp.int32)
+        dx = rank - dy * wg
+        tile = base_p + dy * ntx + dx
+        pair_ok = (slot < total) & (gid >= 0) & (rank < np_p)
+        tile = jnp.where(pair_ok, tile, n_tiles)      # sentinel sorts last
+        key = ((tile.astype(jnp.uint32) << rank_bits)
+               | gid_c.astype(jnp.uint32))
+        key_s, gid_s = jax.lax.sort((key, gid_c), num_keys=1)
+        tile_s = (key_s >> rank_bits).astype(jnp.int32)
+        # tile segment starts via 786 binary searches on the sorted keys
+        # (replaces a P-sized segment-sum scatter)
+        bounds = jnp.searchsorted(
+            key_s, (jnp.arange(n_tiles + 1, dtype=jnp.uint32)
+                    << rank_bits)).astype(jnp.int32)
+    else:
+        order = None
+        offsets = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                   jnp.cumsum(n_per_g)]).astype(jnp.int32)
+        total = offsets[g]
+        gid = _run_lookup(offsets, p1)
+        gid_c = jnp.clip(gid, 0, g - 1)
+        rank = slot - offsets[gid_c]
+        wg = jnp.maximum(w[gid_c], 1)
+        dy, dx = rank // wg, rank % wg
+        tile = (y0[gid_c] + dy) * ntx + (x0[gid_c] + dx)
+        pair_ok = (slot < total) & (gid >= 0) & (rank < n_per_g[gid_c])
+        tile = jnp.where(pair_ok, tile, n_tiles)
+        depth_key = jnp.where(pair_ok, proj.depth[gid_c], jnp.inf)
+        tile_s, _, gid_s = jax.lax.sort(
+            (tile, depth_key.astype(jnp.float32), gid_c), num_keys=2)
+        bounds = jnp.searchsorted(
+            tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        ).astype(jnp.int32)
     valid_s = tile_s < n_tiles
 
     # chunk-pad every tile segment (≥1 chunk so empty tiles still emit bg)
-    counts = jax.ops.segment_sum(valid_s.astype(jnp.int32), tile_s,
-                                 num_segments=n_tiles + 1)[:n_tiles]
-    seg_start = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                                 jnp.cumsum(counts)]).astype(jnp.int32)
+    counts = bounds[1:] - bounds[:n_tiles]
+    seg_start = bounds[:n_tiles]
     padded = jnp.maximum(_cdiv_arr(counts) * CHUNK, CHUNK)
     pstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                               jnp.cumsum(padded)]).astype(jnp.int32)
 
     p2 = pair_budget + n_tiles * CHUNK
     tile_sc = jnp.clip(tile_s, 0, n_tiles - 1)
-    pos = pstart[tile_sc] + (jnp.arange(p1, dtype=jnp.int32)
-                             - seg_start[tile_sc])
+    # one delta-table gather instead of separate pstart/seg_start gathers
+    delta = pstart[:n_tiles] - seg_start
+    pos = slot + delta[tile_sc]
     pos = jnp.where(valid_s, pos, p2)
     gid_final = jnp.full((p2,), -1, jnp.int32).at[pos].set(gid_s, mode="drop")
 
@@ -253,7 +320,7 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget):
     nxt = jnp.concatenate([chunk_tile[1:], jnp.full((1,), -2, jnp.int32)])
     chunk_first = (chunk_tile != prev).astype(jnp.int32)
     chunk_last = (chunk_tile != nxt).astype(jnp.int32)
-    return gid_final, chunk_tile, chunk_first, chunk_last
+    return gid_final, chunk_tile, chunk_first, chunk_last, order
 
 
 def _cdiv_arr(x):
@@ -503,17 +570,27 @@ def _rasterize_view(means, covars, colors, opacities, viewmat, K,
         near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip)
 
     op = jnp.where(proj.valid, opacities.astype(jnp.float32), 0.0)
-    attrs = jnp.zeros((ATTR_ROWS, g), jnp.float32)
-    attrs = attrs.at[0:2, :].set(proj.mean2d.T)
-    attrs = attrs.at[2:5, :].set(proj.conic.T)
-    attrs = attrs.at[5, :].set(op)
-    attrs = attrs.at[6:9, :].set(colors.T)
-    attrs = attrs.at[9, :].set(proj.depth)
-    attrs = attrs.at[10, :].set(1.0)
+    # per-gaussian attribute table in ROW-major (G, 16): the P-sized gather
+    # below then reads 64B-contiguous rows (fast TPU gather); the kernel's
+    # (16, P) layout is restored by one bandwidth-bound transpose.
+    ones = jnp.ones((g,), jnp.float32)
+    zeros = jnp.zeros((g,), jnp.float32)
+    attrs_rows = jnp.stack(
+        [proj.mean2d[:, 0], proj.mean2d[:, 1],
+         proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2], op,
+         colors[:, 0], colors[:, 1], colors[:, 2], proj.depth, ones,
+         zeros, zeros, zeros, zeros, zeros], axis=1)     # (G, 16)
 
-    gid, c_tile, c_first, c_last = build_pairs(proj, ntx, nty, pair_budget)
+    # opacity cull: α = op·e^{−σ} < ALPHA_MIN is skipped inside the kernel
+    # for ANY σ when op < ALPHA_MIN, and such gaussians receive exactly zero
+    # gradients there — dropping their pairs is a pure win (the encoder's
+    # conf-mask zeros ~10% of opacities; post-opt scenes far more).
+    gid, c_tile, c_first, c_last, order = build_pairs(
+        proj, ntx, nty, pair_budget, extra_valid=op >= ALPHA_MIN)
+    table = attrs_rows if order is None else attrs_rows[order]
     pair_ok = (gid >= 0).astype(jnp.float32)
-    attrs_s = attrs[:, jnp.clip(gid, 0, g - 1)] * pair_ok[None, :]
+    attrs_s = (table[jnp.clip(gid, 0, g - 1)]
+               * pair_ok[:, None]).T                     # (16, P2)
 
     out = _composite(attrs_s, c_tile, c_first, c_last, ntx, n_tiles,
                      interpret)[:n_tiles]
@@ -560,9 +637,11 @@ def rasterize(
         background = jnp.zeros((3,), jnp.float32)
     background = background.astype(jnp.float32)
     if pair_budget is None:
-        # generous default: per-pixel Gaussians are mostly sub-tile, but small
-        # scenes with large splats need headroom; overflow pairs are dropped.
-        pair_budget = max(8 * g, 1024)
+        # default: per-pixel Gaussians are mostly sub-tile; small scenes with
+        # large splats need headroom.  Overflow drops the DEEPEST pairs
+        # (depth-ordered expansion), so degradation is graceful — the culled
+        # splats are the mostly-occluded far tail.
+        pair_budget = max(4 * g, 1024)
     pair_budget = _cdiv(pair_budget, CHUNK) * CHUNK
 
     def one_view(cam):
