@@ -98,3 +98,99 @@ def test_open_clip_importer_layout_roundtrip(rng):
     b = clip_mod.image_features(back, px, TINY)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+# --------------------------------------------------------------------------- #
+# text tower                                                                  #
+# --------------------------------------------------------------------------- #
+TINY_TEXT_HF = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+                    num_attention_heads=4, vocab_size=99,
+                    max_position_embeddings=16, projection_dim=16,
+                    hidden_act="gelu", eos_token_id=98)
+TINY_TEXT = clip_mod.CLIPTextConfig(hidden_size=32, num_layers=3, num_heads=4,
+                                    mlp_dim=64, vocab_size=99,
+                                    context_length=16, projection_dim=16,
+                                    act="gelu")
+
+
+@pytest.fixture(scope="module")
+def hf_text_model():
+    import torch
+    from transformers import (CLIPTextConfig as HFTextCfg,
+                              CLIPTextModelWithProjection)
+    torch.manual_seed(1)
+    m = CLIPTextModelWithProjection(HFTextCfg(**TINY_TEXT_HF))
+    m.eval()
+    return m
+
+
+def test_text_features_match_hf(hf_text_model, rng):
+    """Causal mask + argmax-EOS pooling + projection vs HF
+    (`utils/reward.py:152-158` uses `get_text_features`)."""
+    import torch
+    sd = {k: v.detach().numpy() for k, v in hf_text_model.state_dict().items()}
+    params = clip_mod.import_hf_clip_text(sd, TINY_TEXT.num_layers)
+
+    ids = rng.integers(1, 90, (3, 16)).astype(np.int32)
+    ids[:, 0] = 0
+    ids[0, 7] = 98   # eos mid-sequence: pooling must pick position 7
+    ids[1, 15] = 98
+    ids[2, 3] = 98
+    with torch.no_grad():
+        want = hf_text_model(input_ids=torch.from_numpy(ids.astype(np.int64))
+                             ).text_embeds
+        want = (want / want.norm(dim=-1, keepdim=True)).numpy()
+    got = np.asarray(clip_mod.text_features(params, jnp.asarray(ids),
+                                            TINY_TEXT))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-4)
+
+
+def test_text_open_clip_import_round_trip(rng):
+    """open_clip naming (packed in_proj) → same features as the HF naming
+    for identical underlying weights."""
+    torch = pytest.importorskip("torch")
+    from transformers import (CLIPTextConfig as HFTextCfg,
+                              CLIPTextModelWithProjection)
+    torch.manual_seed(2)
+    m = CLIPTextModelWithProjection(HFTextCfg(**TINY_TEXT_HF)).eval()
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    params_hf = clip_mod.import_hf_clip_text(sd, TINY_TEXT.num_layers)
+
+    # rebuild the same weights under open_clip names
+    oc = {
+        "token_embedding.weight":
+            sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding":
+            sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": sd["text_model.final_layer_norm.bias"],
+        "text_projection": sd["text_projection.weight"].T,
+    }
+    for i in range(TINY_TEXT.num_layers):
+        p = f"text_model.encoder.layers.{i}"
+        o = f"transformer.resblocks.{i}"
+        oc[f"{o}.attn.in_proj_weight"] = np.concatenate(
+            [sd[f"{p}.self_attn.q_proj.weight"],
+             sd[f"{p}.self_attn.k_proj.weight"],
+             sd[f"{p}.self_attn.v_proj.weight"]], axis=0)
+        oc[f"{o}.attn.in_proj_bias"] = np.concatenate(
+            [sd[f"{p}.self_attn.q_proj.bias"],
+             sd[f"{p}.self_attn.k_proj.bias"],
+             sd[f"{p}.self_attn.v_proj.bias"]], axis=0)
+        oc[f"{o}.attn.out_proj.weight"] = sd[f"{p}.self_attn.out_proj.weight"]
+        oc[f"{o}.attn.out_proj.bias"] = sd[f"{p}.self_attn.out_proj.bias"]
+        oc[f"{o}.ln_1.weight"] = sd[f"{p}.layer_norm1.weight"]
+        oc[f"{o}.ln_1.bias"] = sd[f"{p}.layer_norm1.bias"]
+        oc[f"{o}.ln_2.weight"] = sd[f"{p}.layer_norm2.weight"]
+        oc[f"{o}.ln_2.bias"] = sd[f"{p}.layer_norm2.bias"]
+        oc[f"{o}.mlp.c_fc.weight"] = sd[f"{p}.mlp.fc1.weight"]
+        oc[f"{o}.mlp.c_fc.bias"] = sd[f"{p}.mlp.fc1.bias"]
+        oc[f"{o}.mlp.c_proj.weight"] = sd[f"{p}.mlp.fc2.weight"]
+        oc[f"{o}.mlp.c_proj.bias"] = sd[f"{p}.mlp.fc2.bias"]
+    params_oc = clip_mod.import_open_clip_text(oc, TINY_TEXT.num_layers)
+
+    ids = jnp.asarray(rng.integers(1, 98, (2, 16)).astype(np.int32))
+    ids = ids.at[:, -1].set(98)
+    a = clip_mod.text_features(params_hf, ids, TINY_TEXT)
+    b = clip_mod.text_features(params_oc, ids, TINY_TEXT)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

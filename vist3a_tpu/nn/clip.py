@@ -246,3 +246,173 @@ def import_open_clip_vision(sd, num_layers: int) -> dict:
         "ln_post": ln("visual.ln_post"),
         "proj": t("visual.proj"),
     }
+
+
+# --------------------------------------------------------------------------- #
+# text tower                                                                   #
+# --------------------------------------------------------------------------- #
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP-H text tower (both reward scorers use the same H-14 text arch:
+    width 1024 / 24 layers / heads 16 / ctx 77).  Reference computes text
+    features frozen via HF `get_text_features` (`utils/reward.py:152-158`)
+    and open_clip `encode_text` (:171-174); this makes them in-framework."""
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    mlp_dim: int = 4096
+    vocab_size: int = 49408
+    context_length: int = 77
+    projection_dim: int = 1024
+    act: str = "gelu"
+    ln_eps: float = 1e-5
+
+
+CLIP_H_TEXT = CLIPTextConfig()
+
+
+def text_init(key, cfg: CLIPTextConfig = CLIP_H_TEXT,
+              dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 4)
+    d = cfg.hidden_size
+    vcfg = CLIPVisionConfig(hidden_size=d, num_heads=cfg.num_heads,
+                            mlp_dim=cfg.mlp_dim, act=cfg.act,
+                            ln_eps=cfg.ln_eps)
+    layers = [_layer_init(k, vcfg, dtype)
+              for k in jax.random.split(keys[0], cfg.num_layers)]
+    return {
+        "token_embed": jax.random.normal(
+            keys[1], (cfg.vocab_size, d), dtype) * 0.02,
+        "pos_embed": jax.random.normal(
+            keys[2], (cfg.context_length, d), dtype) * 0.01,
+        "layers": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *layers),
+        "ln_final": {"scale": jnp.ones((d,), dtype),
+                     "bias": jnp.zeros((d,), dtype)},
+        "proj": jax.random.normal(keys[3], (d, cfg.projection_dim),
+                                  dtype) * d ** -0.5,
+    }
+
+
+def _text_layer(p, x, cfg: CLIPTextConfig, mask):
+    b, n, d = x.shape
+    h = cfg.num_heads
+    y = _ln(p["ln1"], x, cfg.ln_eps)
+    q = _lin(p["q"], y).reshape(b, n, h, d // h)
+    k = _lin(p["k"], y).reshape(b, n, h, d // h)
+    v = _lin(p["v"], y).reshape(b, n, h, d // h)
+    # 77 tokens: plain masked attention (no flash kernel needed)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) * (d // h) ** -0.5
+    logits = logits + mask
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, n, d)
+    x = x + _lin(p["o"], out)
+    y = _ln(p["ln2"], x, cfg.ln_eps)
+    return x + _lin(p["fc2"], _act(_lin(p["fc1"], y), cfg.act))
+
+
+def text_features(params, ids: jnp.ndarray,
+                  cfg: CLIPTextConfig = CLIP_H_TEXT, *,
+                  normalize: bool = True) -> jnp.ndarray:
+    """ids: (B, 77) int32 CLIP-BPE token ids (with 49406/49407 start/end)
+    → (B, projection_dim).  Causal mask; pooled at argmax(ids) — the
+    end-of-text token has the highest id in the CLIP vocabulary, matching
+    both HF and open_clip pooling."""
+    b, n = ids.shape
+    x = params["token_embed"][ids] + params["pos_embed"][None, :n]
+    causal = jnp.where(
+        jnp.arange(n)[None, :] <= jnp.arange(n)[:, None], 0.0, -jnp.inf)
+    mask = causal[None, None].astype(jnp.float32)
+
+    def body(carry, lp):
+        return _text_layer(lp, carry, cfg, mask), None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    x = _ln(params["ln_final"], x, cfg.ln_eps)
+    pooled = jnp.take_along_axis(
+        x, jnp.argmax(ids, axis=-1)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0]
+    feats = jnp.dot(pooled, params["proj"].astype(pooled.dtype),
+                    preferred_element_type=jnp.float32).astype(pooled.dtype)
+    if normalize:
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+    return feats
+
+
+def import_hf_clip_text(sd, num_layers: int) -> dict:
+    """HF CLIPModel / CLIPTextModelWithProjection state_dict (prefix
+    'text_model.' + 'text_projection.')."""
+    def tr(k):
+        return jnp.asarray(np.asarray(sd[k]).T)
+
+    def t(k):
+        return jnp.asarray(np.asarray(sd[k]))
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    def lin(prefix):
+        return {"w": tr(f"{prefix}.weight"), "b": t(f"{prefix}.bias")}
+
+    layers = []
+    for i in range(num_layers):
+        p = f"text_model.encoder.layers.{i}"
+        layers.append({
+            "ln1": ln(f"{p}.layer_norm1"),
+            "q": lin(f"{p}.self_attn.q_proj"),
+            "k": lin(f"{p}.self_attn.k_proj"),
+            "v": lin(f"{p}.self_attn.v_proj"),
+            "o": lin(f"{p}.self_attn.out_proj"),
+            "ln2": ln(f"{p}.layer_norm2"),
+            "fc1": lin(f"{p}.mlp.fc1"),
+            "fc2": lin(f"{p}.mlp.fc2"),
+        })
+    return {
+        "token_embed": t("text_model.embeddings.token_embedding.weight"),
+        "pos_embed": t("text_model.embeddings.position_embedding.weight"),
+        "layers": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *layers),
+        "ln_final": ln("text_model.final_layer_norm"),
+        "proj": tr("text_projection.weight"),
+    }
+
+
+def import_open_clip_text(sd, num_layers: int) -> dict:
+    """open_clip text tower (unprefixed 'transformer.resblocks.*',
+    'token_embedding', 'positional_embedding', 'ln_final',
+    'text_projection')."""
+    def t(k):
+        return jnp.asarray(np.asarray(sd[k]))
+
+    def tr(k):
+        return jnp.asarray(np.asarray(sd[k]).T)
+
+    def ln(prefix):
+        return {"scale": t(f"{prefix}.weight"), "bias": t(f"{prefix}.bias")}
+
+    layers = []
+    for i in range(num_layers):
+        p = f"transformer.resblocks.{i}"
+        w = np.asarray(sd[f"{p}.attn.in_proj_weight"])
+        b = np.asarray(sd[f"{p}.attn.in_proj_bias"])
+        d = w.shape[1]
+        layers.append({
+            "ln1": ln(f"{p}.ln_1"),
+            "q": {"w": jnp.asarray(w[:d].T), "b": jnp.asarray(b[:d])},
+            "k": {"w": jnp.asarray(w[d:2 * d].T),
+                  "b": jnp.asarray(b[d:2 * d])},
+            "v": {"w": jnp.asarray(w[2 * d:].T), "b": jnp.asarray(b[2 * d:])},
+            "o": {"w": tr(f"{p}.attn.out_proj.weight"),
+                  "b": t(f"{p}.attn.out_proj.bias")},
+            "ln2": ln(f"{p}.ln_2"),
+            "fc1": {"w": tr(f"{p}.mlp.c_fc.weight"),
+                    "b": t(f"{p}.mlp.c_fc.bias")},
+            "fc2": {"w": tr(f"{p}.mlp.c_proj.weight"),
+                    "b": t(f"{p}.mlp.c_proj.bias")},
+        })
+    return {
+        "token_embed": t("token_embedding.weight"),
+        "pos_embed": t("positional_embedding"),
+        "layers": jax.tree_util.tree_map(lambda *x: jnp.stack(x), *layers),
+        "ln_final": ln("ln_final"),
+        "proj": t("text_projection"),
+    }
