@@ -9,10 +9,13 @@ Parity targets: `evaluation/gen_eval/gen_metrics/` —
   * LongCLIP (248-token text) shares the image tower — same adapter with a
     different text-feature source.
 
-These run on `vist3a_tpu.nn.clip` image towers; text features are computed
-off-path (they need tokenizers + text towers, which are frozen and
-eval-only) and injected.  MUSIQ and the Qwen judge remain external scorers
-behind the `gen_eval` callable interface (SURVEY.md §7.3).
+These run on `vist3a_tpu.nn.clip` image towers.  Text features are fully
+in-framework: `make_clip_text_features` composes the BPE tokenizer
+(`data/clip_tokenizer.py`) with the `nn.clip` text tower — covering
+CLIPScore (ViT-L/14, `CLIP_L_TEXT`) and LongCLIP-L (248-position
+`LONGCLIP_L_TEXT`, a standard HF CLIPModel checkpoint).  MUSIQ and the
+Qwen judge remain external scorers behind the `gen_eval` callable
+interface (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -48,6 +51,24 @@ def _frames_to_clip_input(frames, size: int) -> jnp.ndarray:
         img = img[:, :, y0:y0 + size, x0:x0 + size]
         out.append((np.asarray(img[0]) - mean) / std)
     return jnp.asarray(np.stack(out), jnp.float32)
+
+
+def make_clip_text_features(text_params, text_cfg, tokenizer, *,
+                            pad: str = "eos"):
+    """prompt → normalized (D,) text features, fully in-framework.
+
+    tokenizer: `data.clip_tokenizer.CLIPTokenizer` (pad='eos' matches the
+    HF processors used by torchmetrics CLIPScore / PickScore; 'zero'
+    matches open_clip).  Use `text_cfg=nn.clip.LONGCLIP_L_TEXT` for the
+    248-position LongCLIP-L tower."""
+
+    def text_features_fn(prompt: str):
+        ids = tokenizer([prompt], text_cfg.context_length, pad=pad)
+        return np.asarray(
+            clip_mod.text_features(text_params, jnp.asarray(ids),
+                                   text_cfg))[0]
+
+    return text_features_fn
 
 
 def make_clip_scorer(params, text_features_fn,

@@ -269,6 +269,15 @@ class CLIPTextConfig:
 
 
 CLIP_H_TEXT = CLIPTextConfig()
+# ViT-L/14 text tower (openai lineage → quick_gelu): CLIPScore
+# ("openai/clip-vit-large-patch14") and the LongCLIP-L variant
+# ("zer0int/LongCLIP-L-Diffusers", 248 positions — a standard HF CLIPModel,
+# importable via `import_hf_clip_text`); used by
+# `evaluation/gen_eval/t3_scene_evaluation.py:96-101`.
+CLIP_L_TEXT = CLIPTextConfig(hidden_size=768, num_layers=12, num_heads=12,
+                             mlp_dim=3072, projection_dim=768,
+                             act="quick_gelu")
+LONGCLIP_L_TEXT = dataclasses.replace(CLIP_L_TEXT, context_length=248)
 
 
 def text_init(key, cfg: CLIPTextConfig = CLIP_H_TEXT,
