@@ -1,0 +1,132 @@
+"""In-framework Qwen2.5-VL judge callables for the gen-eval harness.
+
+Parity targets:
+  * `dpg_evaluation.py:91-124` (`MPLUG.vqa`): chat-template VQA with the
+    exact "one word 'Yes' or 'No'" wrapper, greedy decode;
+  * `gen_metrics/unified_reward.py:67-133`: the UnifiedReward
+    alignment/coherence/style prompt (verbatim) + greedy decode; the output
+    string is parsed by `gen_eval.parse_unified_scores`.
+
+The neural model is `nn.qwen_vl` (JAX, parity-tested).  Host-side pieces:
+PIL bicubic resize to the smart-resize grid (the HF processor's default
+resample), CLIP mean/std normalization, and a text tokenizer loaded from
+checkpoint-local files (e.g. `transformers.AutoTokenizer.from_pretrained(
+local_dir)`), injected as `tokenizer`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from vist3a_tpu.nn import qwen_vl
+from vist3a_tpu.nn.clip import CLIP_MEAN, CLIP_STD
+
+IM_START, IM_END = "<|im_start|>", "<|im_end|>"
+VISION_START, VISION_END = "<|vision_start|>", "<|vision_end|>"
+IMAGE_PAD = "<|image_pad|>"
+
+VQA_WRAPPER = ("Please answer the following question with only one word "
+               "'Yes' or 'No': {question}\nASSISTANT:\n")
+
+UNIFIED_REWARD_PROMPT = (
+    "You are presented with a generated image and its associated text caption. Your task is to analyze the image across multiple dimensions in relation to the caption. Specifically:\n\n"
+    "1. Evaluate each word in the caption based on how well it is visually represented in the image. Assign a numerical score to each word using the format:\n"
+    '   Word-wise Scores: [["word1", score1], ["word2", score2], ..., ["wordN", scoreN], ["[No_mistakes]", scoreM]]\n'
+    "   - A higher score indicates that the word is less well represented in the image.\n"
+    "   - The special token [No_mistakes] represents whether all elements in the caption were correctly depicted. A high score suggests no mistakes; a low score suggests missing or incorrect elements.\n\n"
+    "2. Provide overall assessments for the image along the following axes (each rated from 1 to 5):\n"
+    "- Alignment Score: How well the image matches the caption in terms of content.\n"
+    "- Coherence Score: How logically consistent the image is (absence of visual glitches, object distortions, etc.).\n"
+    "- Style Score: How aesthetically appealing the image looks, regardless of caption accuracy.\n\n"
+    "Output your evaluation using the format below:\n\n"
+    "---\n\n"
+    'Word-wise Scores: [["word1", score1], ..., ["[No_mistakes]", scoreM]]\n\n'
+    "Alignment Score (1-5): X\n"
+    "Coherence Score (1-5): Y\n"
+    "Style Score (1-5): Z\n\n"
+    "Your task is provided as follows:\nText Caption: [{prompt}]\nASSISTANT:\n"
+)
+
+
+def preprocess_image(img: np.ndarray, cfg: qwen_vl.QwenVLVisionConfig, *,
+                     min_pixels: int = 56 * 56,
+                     max_pixels: int = 14 * 14 * 4 * 1280):
+    """(H, W, 3) uint8 → (flat patches, grid): smart-resize to the patch
+    grid (PIL bicubic, the HF processor default), CLIP-normalize, patchify
+    in HF merge-group order."""
+    from PIL import Image
+
+    factor = cfg.patch_size * cfg.spatial_merge_size
+    h, w = img.shape[:2]
+    rh, rw = qwen_vl.smart_resize(h, w, factor, min_pixels, max_pixels)
+    pil = Image.fromarray(img).resize((rw, rh), Image.BICUBIC)
+    arr = np.asarray(pil, np.float32) / 255.0
+    mean = np.asarray(CLIP_MEAN, np.float32)
+    std = np.asarray(CLIP_STD, np.float32)
+    arr = (arr - mean) / std
+    frames = arr.transpose(2, 0, 1)[None]          # (1, C, H, W)
+    return qwen_vl.patchify(frames, cfg)
+
+
+def build_chat_ids(tokenizer, question: str, n_image_tokens: int,
+                   system: str = "You are a helpful assistant.") -> np.ndarray:
+    """Qwen2.5-VL chat template with generation prompt; the single image
+    placeholder is expanded to `n_image_tokens` pads (what
+    `AutoProcessor.apply_chat_template` + processor expansion produce)."""
+    text = (f"{IM_START}system\n{system}{IM_END}\n"
+            f"{IM_START}user\n{VISION_START}{IMAGE_PAD * n_image_tokens}"
+            f"{VISION_END}{question}{IM_END}\n"
+            f"{IM_START}assistant\n")
+    ids = tokenizer(text, add_special_tokens=False)["input_ids"]
+    return np.asarray(ids, np.int32)
+
+
+def _run(vision_params, text_params, tokenizer, img, question,
+         vcfg: qwen_vl.QwenVLVisionConfig, tcfg: qwen_vl.QwenVLTextConfig,
+         max_new_tokens: int, min_pixels: int, max_pixels: int) -> str:
+    patches, grid = preprocess_image(np.asarray(img), vcfg,
+                                     min_pixels=min_pixels,
+                                     max_pixels=max_pixels)
+    n_img = patches.shape[0] // vcfg.spatial_merge_size ** 2
+    ids = build_chat_ids(tokenizer, question, n_img)
+    feats = qwen_vl.vision_features(vision_params, jnp.asarray(patches),
+                                    grid, vcfg)
+    pos, delta = qwen_vl.get_rope_index(ids, [grid], tcfg, vcfg)
+    out = qwen_vl.greedy_generate(text_params, ids, feats, pos, delta, tcfg,
+                                  max_new_tokens=max_new_tokens)
+    return tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+def make_vqa_judge(vision_params, text_params, tokenizer, *,
+                   vcfg=qwen_vl.QWEN25_VL_7B_VISION,
+                   tcfg=qwen_vl.QWEN25_VL_7B_TEXT,
+                   max_new_tokens: int = 16,
+                   min_pixels: int = 56 * 56,
+                   max_pixels: int = 14 * 14 * 4 * 1280):
+    """vqa(image, question) → decoded answer string ('Yes'/'No' for DPG)."""
+
+    def vqa(image, question: str) -> str:
+        return _run(vision_params, text_params, tokenizer, image,
+                    VQA_WRAPPER.format(question=question), vcfg, tcfg,
+                    max_new_tokens, min_pixels, max_pixels)
+
+    return vqa
+
+
+def make_unified_reward_judge(vision_params, text_params, tokenizer, *,
+                              vcfg=qwen_vl.QWEN25_VL_7B_VISION,
+                              tcfg=qwen_vl.QWEN25_VL_7B_TEXT,
+                              max_new_tokens: int = 1024,
+                              min_pixels: int = 56 * 56,
+                              max_pixels: int = 14 * 14 * 4 * 1280):
+    """unified_reward(frames, prompt) → raw judge text (one frame per call,
+    matching `run_scene_eval`); parse with `gen_eval.parse_unified_scores`."""
+
+    def judge(frames, prompt: str) -> str:
+        return _run(vision_params, text_params, tokenizer, frames[0],
+                    UNIFIED_REWARD_PROMPT.format(prompt=prompt), vcfg, tcfg,
+                    max_new_tokens, min_pixels, max_pixels)
+
+    return judge
