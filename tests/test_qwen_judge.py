@@ -75,3 +75,25 @@ def test_unified_reward_judge_end_to_end(params):            # noqa: F811
         min_pixels=16, max_pixels=64)
     out = judge([img], "a photo of a cat")
     assert isinstance(out, str) and len(out) > 0
+
+
+def test_load_judge_roundtrip(hf_model, tmp_path):             # noqa: F811
+    """save_pretrained dir → load_judge → same logits as the HF model."""
+    import jax.numpy as jnp
+    import torch
+
+    hf_model.save_pretrained(tmp_path, safe_serialization=True)
+    vis, txt, tok, vcfg, tcfg = qwen_judge.load_judge(
+        str(tmp_path), tokenizer=StubTokenizer())
+    assert vcfg == VCFG
+    assert tcfg.num_layers == TCFG.num_layers
+    assert tcfg.mrope_section == TCFG.mrope_section
+    ids = np.asarray([3, 4, 5, 6, 7], np.int64)
+    with torch.no_grad():
+        want = hf_model(input_ids=torch.from_numpy(ids)[None]).logits[0]
+    pos, _ = qwen_vl.get_rope_index(ids, [], tcfg, vcfg)
+    emb = qwen_vl.embed_tokens(txt, jnp.asarray(ids.astype(np.int32)),
+                               None, tcfg)
+    logits, _, _ = qwen_vl.text_forward(txt, emb, jnp.asarray(pos), tcfg)
+    np.testing.assert_allclose(np.asarray(logits), want.numpy(),
+                               rtol=3e-4, atol=3e-4)

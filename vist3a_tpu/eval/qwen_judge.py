@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from vist3a_tpu.nn import qwen_vl
@@ -97,6 +98,70 @@ def _run(vision_params, text_params, tokenizer, img, question,
     out = qwen_vl.greedy_generate(text_params, ids, feats, pos, delta, tcfg,
                                   max_new_tokens=max_new_tokens)
     return tokenizer.decode(out, skip_special_tokens=True).strip()
+
+
+def load_judge(checkpoint_dir: str, *, tokenizer=None, dtype=None):
+    """Load a local HF-layout Qwen2.5-VL checkpoint directory (config.json +
+    *.safetensors [+ tokenizer files]) → (vision_params, text_params,
+    tokenizer, vcfg, tcfg).  The reference does the equivalent via
+    `Qwen2_5_VLForConditionalGeneration.from_pretrained`
+    (`dpg_evaluation.py:82-86`, `gen_metrics/unified_reward.py:57-63`)."""
+    import glob
+    import json
+    import os
+
+    import safetensors.numpy
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf = json.load(f)
+    v = hf.get("vision_config", {})
+    t = hf.get("text_config", hf)
+    vcfg = qwen_vl.QwenVLVisionConfig(
+        depth=v.get("depth", 32),
+        hidden_size=v.get("hidden_size", 1280),
+        intermediate_size=v.get("intermediate_size", 3420),
+        num_heads=v.get("num_heads", 16),
+        in_channels=v.get("in_channels", 3),
+        patch_size=v.get("patch_size", 14),
+        spatial_merge_size=v.get("spatial_merge_size", 2),
+        temporal_patch_size=v.get("temporal_patch_size", 2),
+        tokens_per_second=v.get("tokens_per_second", 2),
+        window_size=v.get("window_size", 112),
+        out_hidden_size=v.get("out_hidden_size", 3584),
+        fullatt_block_indexes=tuple(v.get("fullatt_block_indexes",
+                                          (7, 15, 23, 31))))
+    eos = t.get("eos_token_id", hf.get("eos_token_id", 151645))
+    eos = tuple(eos) if isinstance(eos, (list, tuple)) else (eos, 151643)
+    tcfg = qwen_vl.QwenVLTextConfig(
+        vocab_size=t.get("vocab_size", 152064),
+        hidden_size=t.get("hidden_size", 3584),
+        intermediate_size=t.get("intermediate_size", 18944),
+        num_layers=t.get("num_hidden_layers", 28),
+        num_heads=t.get("num_attention_heads", 28),
+        num_kv_heads=t.get("num_key_value_heads", 4),
+        rope_theta=t.get("rope_theta", 1e6),
+        mrope_section=tuple(t.get("rope_scaling", {}).get("mrope_section",
+                                                          (16, 24, 24))),
+        rms_eps=t.get("rms_norm_eps", 1e-6),
+        tie_embeddings=t.get("tie_word_embeddings",
+                             hf.get("tie_word_embeddings", False)),
+        image_token_id=hf.get("image_token_id", 151655),
+        video_token_id=hf.get("video_token_id", 151656),
+        vision_start_token_id=hf.get("vision_start_token_id", 151652),
+        eos_token_ids=eos)
+    sd = {}
+    for shard in sorted(glob.glob(os.path.join(checkpoint_dir,
+                                               "*.safetensors"))):
+        sd.update(safetensors.numpy.load_file(shard))
+    vision, text = qwen_vl.import_hf_qwen_vl(sd, vcfg, tcfg)
+    if dtype is not None:
+        cast = lambda x: x.astype(dtype)  # noqa: E731
+        vision = jax.tree_util.tree_map(cast, vision)
+        text = jax.tree_util.tree_map(cast, text)
+    if tokenizer is None:
+        from transformers import AutoTokenizer
+        tokenizer = AutoTokenizer.from_pretrained(checkpoint_dir)
+    return vision, text, tokenizer, vcfg, tcfg
 
 
 def make_vqa_judge(vision_params, text_params, tokenizer, *,
