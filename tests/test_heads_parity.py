@@ -185,7 +185,9 @@ def test_gs_head_parity():
                            patch_start_idx=5, image_size=(hw, hw))
     out = H.gs_head_apply(params, [jnp.asarray(t) for t in taps],
                           jnp.asarray(images), 5, cfg)
-    np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+    # ours returns channels-last (B,S,H,W,C) — documented TPU layout
+    np.testing.assert_allclose(np.asarray(out),
+                               ref_out.permute(0, 1, 3, 4, 2).numpy(),
                                rtol=2e-3, atol=5e-3)
 
 

@@ -164,17 +164,19 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
     else:
         conf_valid = jnp.ones_like(depth_conf, dtype=bool)
 
-    # Gaussian params head (with RGB skip)
+    # Gaussian params head (with RGB skip); raw is channels-last (B,S,H,W,84)
     raw = gs_head_apply(params["gs_head"], taps, images01, psi, cfg.gs)
-    anchor_feats = raw[:, :, : cfg.raw_gs_dim]                # (B,S,83,H,W)
-    gs_conf = raw[:, :, cfg.raw_gs_dim]                       # (B,S,H,W)
+    gs_conf = raw[..., cfg.raw_gs_dim]                        # (B,S,H,W)
+    # reference-layout (B,S,83,H,W) view for the API/loss surface; the
+    # assembly below reads the NHWC form directly (no 0.9 GB transpose on
+    # the decode path — XLA drops this moveaxis when anchor_feats is unused)
+    anchor_feats = jnp.moveaxis(raw[..., : cfg.raw_gs_dim], -1, 2)
 
     scene_scale = jnp.clip(
         jnp.mean(jnp.linalg.norm(pts.reshape(b, -1, 3), axis=-1)), 1e-8)
 
     # static-shape Gaussian assembly: mask → opacity (see module docstring)
-    feats = anchor_feats.transpose(0, 1, 3, 4, 2).reshape(b, -1,
-                                                          cfg.raw_gs_dim)
+    feats = raw[..., : cfg.raw_gs_dim].reshape(b, -1, cfg.raw_gs_dim)
     means = pts.reshape(b, -1, 3)
     mask = conf_valid.reshape(b, -1)
     densities = jax.nn.sigmoid(feats[..., 0])

@@ -58,16 +58,23 @@ def conv2d_init(key, c_in, c_out, k, *, bias=True, dtype=jnp.float32):
     return p
 
 
-def conv2d(params, x, *, stride=1, padding=0):
+def conv2d(params, x, *, stride=1, padding=0, channels_last=False):
+    """Kernel stored OIHW (torch import layout).  channels_last=True runs the
+    conv in NHWC — the layout the TPU conv engine wants (NCHW forces XLA to
+    insert transposes around every conv; the DPT pipeline runs entirely
+    NHWC internally)."""
     k = params["kernel"].astype(x.dtype)
-    dn = lax.conv_dimension_numbers(x.shape, k.shape, ("NCHW", "OIHW", "NCHW"))
+    lay = ("NHWC", "OIHW", "NHWC") if channels_last else \
+        ("NCHW", "OIHW", "NCHW")
+    dn = lax.conv_dimension_numbers(x.shape, k.shape, lay)
     out = lax.conv_general_dilated(
         x, k, (stride, stride), [(padding, padding)] * 2,
         dimension_numbers=dn, precision=_P,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
     if "bias" in params:
-        out = out + params["bias"].astype(x.dtype)[None, :, None, None]
+        b = params["bias"].astype(x.dtype)
+        out = out + (b if channels_last else b[None, :, None, None])
     return out
 
 
@@ -82,16 +89,19 @@ def conv_transpose2d_init(key, c_in, c_out, k, *, dtype=jnp.float32):
     }
 
 
-def conv_transpose2d(params, x, *, stride):
+def conv_transpose2d(params, x, *, stride, channels_last=False):
     k = params["kernel"].astype(x.dtype)
     # torch ConvTranspose2d weight (in,out,kh,kw) is the OIHW kernel of the
     # forward conv being transposed; transpose_kernel flips/swaps it for us.
+    lay = ("NHWC", "OIHW", "NHWC") if channels_last else \
+        ("NCHW", "OIHW", "NCHW")
     out = lax.conv_transpose(
         x, k, (stride, stride), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=lay,
         transpose_kernel=True, precision=_P,
     )
-    return out + params["bias"].astype(x.dtype)[None, :, None, None]
+    b = params["bias"].astype(x.dtype)
+    return out + (b if channels_last else b[None, :, None, None])
 
 
 # --------------------------------------------------------------------------- #
@@ -113,16 +123,22 @@ def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     return m
 
 
-def resize_bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
-    """x: (..., H, W) → (..., oh, ow), torch align_corners=True semantics."""
-    h, w = x.shape[-2], x.shape[-1]
+def resize_bilinear_align_corners(x: jnp.ndarray, size: tuple[int, int], *,
+                                  channels_last=False) -> jnp.ndarray:
+    """x: (..., H, W) (or (..., H, W, C) with channels_last) → resized,
+    torch align_corners=True semantics."""
+    hax = -3 if channels_last else -2
+    h, w = x.shape[hax], x.shape[hax + 1]
     oh, ow = size
     if (h, w) == (oh, ow):
         return x
-    mh = jnp.asarray(_interp_matrix(h, oh))
-    mw = jnp.asarray(_interp_matrix(w, ow))
-    out = jnp.einsum("oh,...hw->...ow", mh.astype(x.dtype), x, precision=_P)
-    return jnp.einsum("pw,...ow->...op", mw.astype(x.dtype), out, precision=_P)
+    mh = jnp.asarray(_interp_matrix(h, oh)).astype(x.dtype)
+    mw = jnp.asarray(_interp_matrix(w, ow)).astype(x.dtype)
+    if channels_last:
+        out = jnp.einsum("oh,...hwc->...owc", mh, x, precision=_P)
+        return jnp.einsum("pw,...owc->...opc", mw, out, precision=_P)
+    out = jnp.einsum("oh,...hw->...ow", mh, x, precision=_P)
+    return jnp.einsum("pw,...ow->...op", mw, out, precision=_P)
 
 
 # --------------------------------------------------------------------------- #
@@ -149,8 +165,13 @@ def _uv_pos_embed(h: int, w: int, dim: int, aspect: float, omega0: float = 100.0
 
 
 def apply_uv_pos_embed(x: jnp.ndarray, img_w: int, img_h: int,
-                       ratio: float = 0.1) -> jnp.ndarray:
-    """x: (B, C, h, w); adds 0.1× sinusoidal UV embedding."""
+                       ratio: float = 0.1, *,
+                       channels_last=False) -> jnp.ndarray:
+    """x: (B, C, h, w) (or (B, h, w, C)); adds 0.1× sinusoidal UV embed."""
+    if channels_last:
+        _, h, w, c = x.shape
+        pe = jnp.asarray(_uv_pos_embed(h, w, c, img_w / img_h))
+        return x + ratio * pe.astype(x.dtype).transpose(1, 2, 0)[None]
     _, c, h, w = x.shape
     pe = jnp.asarray(_uv_pos_embed(h, w, c, img_w / img_h))
     return x + ratio * pe.astype(x.dtype)[None]
@@ -183,8 +204,10 @@ def _residual_unit_init(key, features, dtype):
 
 
 def _residual_unit(params, x):
-    out = conv2d(params["conv1"], jax.nn.relu(x), padding=1)
-    out = conv2d(params["conv2"], jax.nn.relu(out), padding=1)
+    out = conv2d(params["conv1"], jax.nn.relu(x), padding=1,
+                 channels_last=True)
+    out = conv2d(params["conv2"], jax.nn.relu(out), padding=1,
+                 channels_last=True)
     return out + x
 
 
@@ -204,9 +227,9 @@ def _fusion(params, x, residual=None, size=None):
         x = x + _residual_unit(params["res1"], residual)
     x = _residual_unit(params["res2"], x)
     if size is None:
-        size = (x.shape[-2] * 2, x.shape[-1] * 2)
-    x = resize_bilinear_align_corners(x, size)
-    return conv2d(params["out_conv"], x)
+        size = (x.shape[-3] * 2, x.shape[-2] * 2)
+    x = resize_bilinear_align_corners(x, size, channels_last=True)
+    return conv2d(params["out_conv"], x, channels_last=True)
 
 
 def dpt_init(key, cfg: DPTConfig, dtype=jnp.float32) -> dict:
@@ -244,6 +267,11 @@ def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
     Returns the output of the refinenet cascade + output_conv1 at 2× patch
     grid resolution ((patch_h·ps/2)·... per DPT wiring) — callers apply the
     final resize + output convs.
+
+    The whole cascade runs channels-last (NHWC): tokens arrive (N, P, C)
+    with P row-major over (ph, pw), so the entry reshape is free, and every
+    conv sits in the TPU conv engine's preferred layout (the NCHW form
+    forced a transpose around each of the ~20 convs).
     """
     h, w = img_hw
     ph, pw = h // cfg.patch_size, w // cfg.patch_size
@@ -252,25 +280,29 @@ def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
         n, p, c = tap.shape
         x = tap.astype(jnp.float32)[:, patch_start_idx:]
         x = layer_norm(params["norm"], x)
-        x = x.swapaxes(1, 2).reshape(n, c, ph, pw)
-        x = conv2d(params["projects"][i], x)
+        x = x.reshape(n, ph, pw, c)
+        x = conv2d(params["projects"][i], x, channels_last=True)
         if cfg.pos_embed:
-            x = apply_uv_pos_embed(x, w, h)
+            x = apply_uv_pos_embed(x, w, h, channels_last=True)
         if i == 0:
-            x = conv_transpose2d(params["resize0"], x, stride=4)
+            x = conv_transpose2d(params["resize0"], x, stride=4,
+                                 channels_last=True)
         elif i == 1:
-            x = conv_transpose2d(params["resize1"], x, stride=2)
+            x = conv_transpose2d(params["resize1"], x, stride=2,
+                                 channels_last=True)
         elif i == 3:
-            x = conv2d(params["resize3"], x, stride=2, padding=1)
+            x = conv2d(params["resize3"], x, stride=2, padding=1,
+                       channels_last=True)
         outs.append(x)
 
-    l1, l2, l3, l4 = [conv2d(params["layer_rn"][i], o, padding=1)
+    l1, l2, l3, l4 = [conv2d(params["layer_rn"][i], o, padding=1,
+                             channels_last=True)
                       for i, o in enumerate(outs)]
-    out = _fusion(params["refinenet4"], l4, size=l3.shape[-2:])
-    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[-2:])
-    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[-2:])
+    out = _fusion(params["refinenet4"], l4, size=l3.shape[1:3])
+    out = _fusion(params["refinenet3"], out, l3, size=l2.shape[1:3])
+    out = _fusion(params["refinenet2"], out, l2, size=l1.shape[1:3])
     out = _fusion(params["refinenet1"], out, l1)
-    return conv2d(params["output_conv1"], out, padding=1)
+    return conv2d(params["output_conv1"], out, padding=1, channels_last=True)
 
 
 def _frame_chunks(n: int, chunk: int):
@@ -283,19 +315,21 @@ def _frame_chunks(n: int, chunk: int):
 
 def _dpt_frames(params, taps_flat, images_hw, patch_start_idx, cfg: DPTConfig):
     """Per-frame DPT pipeline on pre-flattened taps (4 × (N,P,2C)) →
-    (N, output_dim, H', W').  Pure per-frame math — chunking over N is
-    exact."""
+    (N, H', W', output_dim) channels-last.  Pure per-frame math — chunking
+    over N is exact."""
     h, w = images_hw
     out = _dpt_fused_features(params, taps_flat, cfg, patch_start_idx,
                               images_hw)
     ph, pw = h // cfg.patch_size, w // cfg.patch_size
     target = (ph * cfg.patch_size // cfg.down_ratio,
               pw * cfg.patch_size // cfg.down_ratio)
-    out = resize_bilinear_align_corners(out, target)
+    out = resize_bilinear_align_corners(out, target, channels_last=True)
     if cfg.pos_embed:
-        out = apply_uv_pos_embed(out, w, h)
-    out = conv2d(params["output_conv2"][0], out, padding=1)
-    return conv2d(params["output_conv2"][1], jax.nn.relu(out))
+        out = apply_uv_pos_embed(out, w, h, channels_last=True)
+    out = conv2d(params["output_conv2"][0], out, padding=1,
+                 channels_last=True)
+    return conv2d(params["output_conv2"][1], jax.nn.relu(out),
+                  channels_last=True)
 
 
 def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
@@ -312,8 +346,8 @@ def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
         chunks.append(_dpt_frames(params, [t[lo:hi] for t in taps_flat],
                                   images_hw, patch_start_idx, cfg))
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-    # activate (`heads/head_act.py:61-112`)
-    fmap = out.transpose(0, 2, 3, 1)  # (BS, H, W, C)
+    # activate (`heads/head_act.py:61-112`); out is already (BS, H, W, C)
+    fmap = out
     xyz, conf = fmap[..., :-1], fmap[..., -1]
     if cfg.activation == "exp":
         preds = jnp.exp(xyz)
@@ -367,30 +401,37 @@ def gs_head_init(key, cfg: GSHeadConfig, dtype=jnp.float32) -> dict:
 
 def _gs_frames(params, taps_flat, imgs, cfg: GSHeadConfig,
                patch_start_idx: int):
-    h, w = imgs.shape[-2:]
+    """imgs: (N, H, W, 3) channels-last."""
+    h, w = imgs.shape[1:3]
     out = _dpt_fused_features(params, taps_flat, cfg, patch_start_idx, (h, w))
     direct = jax.nn.relu(conv2d(params["input_merger"],
-                                imgs.astype(out.dtype), padding=3))
-    out = resize_bilinear_align_corners(out, (h, w)) + direct
+                                imgs.astype(out.dtype), padding=3,
+                                channels_last=True))
+    out = resize_bilinear_align_corners(out, (h, w),
+                                        channels_last=True) + direct
     if cfg.pos_embed:
-        out = apply_uv_pos_embed(out, w, h)
-    out = conv2d(params["output_conv2"][0], out, padding=1)
-    return conv2d(params["output_conv2"][1], jax.nn.relu(out))
+        out = apply_uv_pos_embed(out, w, h, channels_last=True)
+    out = conv2d(params["output_conv2"][0], out, padding=1,
+                 channels_last=True)
+    return conv2d(params["output_conv2"][1], jax.nn.relu(out),
+                  channels_last=True)
 
 
 def gs_head_apply(params, taps, images, patch_start_idx: int, cfg: GSHeadConfig):
-    """images: (B,S,3,H,W) in [0,1].  Returns raw (B,S,output_dim,H,W).
+    """images: (B,S,3,H,W) in [0,1].  Returns raw (B,S,H,W,output_dim)
+    channels-last (the assembly in `heads_pipeline` consumes NHWC directly;
+    the reference's (…,C,H,W) form would force a 0.9 GB transpose).
     Frame-chunked like the reference (`vggt_dpt_gs_head.py:86-121`)."""
     b, s, _, h, w = images.shape
     taps_flat = [t.reshape(b * s, *t.shape[2:]) for t in taps]
-    imgs_flat = images.reshape(b * s, 3, h, w)
+    imgs_flat = images.reshape(b * s, 3, h, w).transpose(0, 2, 3, 1)
     chunks = [
         _gs_frames(params, [t[lo:hi] for t in taps_flat], imgs_flat[lo:hi],
                    cfg, patch_start_idx)
         for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size)
     ]
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-    return out.reshape(b, s, cfg.output_dim, h, w)
+    return out.reshape(b, s, h, w, cfg.output_dim)
 
 
 # --------------------------------------------------------------------------- #
