@@ -31,24 +31,9 @@ IMAGE_PAD = "<|image_pad|>"
 VQA_WRAPPER = ("Please answer the following question with only one word "
                "'Yes' or 'No': {question}\nASSISTANT:\n")
 
-UNIFIED_REWARD_PROMPT = (
-    "You are presented with a generated image and its associated text caption. Your task is to analyze the image across multiple dimensions in relation to the caption. Specifically:\n\n"
-    "1. Evaluate each word in the caption based on how well it is visually represented in the image. Assign a numerical score to each word using the format:\n"
-    '   Word-wise Scores: [["word1", score1], ["word2", score2], ..., ["wordN", scoreN], ["[No_mistakes]", scoreM]]\n'
-    "   - A higher score indicates that the word is less well represented in the image.\n"
-    "   - The special token [No_mistakes] represents whether all elements in the caption were correctly depicted. A high score suggests no mistakes; a low score suggests missing or incorrect elements.\n\n"
-    "2. Provide overall assessments for the image along the following axes (each rated from 1 to 5):\n"
-    "- Alignment Score: How well the image matches the caption in terms of content.\n"
-    "- Coherence Score: How logically consistent the image is (absence of visual glitches, object distortions, etc.).\n"
-    "- Style Score: How aesthetically appealing the image looks, regardless of caption accuracy.\n\n"
-    "Output your evaluation using the format below:\n\n"
-    "---\n\n"
-    'Word-wise Scores: [["word1", score1], ..., ["[No_mistakes]", scoreM]]\n\n'
-    "Alignment Score (1-5): X\n"
-    "Coherence Score (1-5): Y\n"
-    "Style Score (1-5): Z\n\n"
-    "Your task is provided as follows:\nText Caption: [{prompt}]\nASSISTANT:\n"
-)
+# single source of truth for the judging prompt (verbatim from
+# `gen_metrics/unified_reward.py:67-133`) lives in eval/gen_eval.py
+from vist3a_tpu.eval.gen_eval import UNIFIED_REWARD_PROMPT  # noqa: E402
 
 
 def preprocess_image(img: np.ndarray, cfg: qwen_vl.QwenVLVisionConfig, *,
