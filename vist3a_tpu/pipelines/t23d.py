@@ -18,6 +18,7 @@ are in play.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -79,30 +80,47 @@ def embed_prompts(umt5_params, tokenize: Callable, prompt: str,
     return cond, uncond
 
 
-def denoise(dit_params, cond, uncond, cfg: T23DConfig,
-            key: jax.Array | None = None, *, latents0=None):
-    """UniPC CFG denoise → pipeline-space (normalized) latents.
-
-    The WHOLE 50-step loop is one `lax.scan` jit (`unipc.sample_scan`) —
-    a single compiled program instead of 50 host dispatches."""
-    if latents0 is None:
-        key = jax.random.key(cfg.seed) if key is None else key
-        latents0 = jax.random.normal(key, cfg.latent_shape, jnp.float32)
-
+@functools.lru_cache(maxsize=8)
+def _denoise_jit(cfg: T23DConfig):
+    """The jitted 50-step program, cached per config — rebuilding the jit
+    closure per call re-traces the whole scan (~6 s at the 1.3B shape) even
+    when the compiled executable is cache-hit."""
     ucfg = unipc.UniPCConfig(num_steps=cfg.num_inference_steps,
                              shift=cfg.flow_shift)
 
     @jax.jit
     def run(dit_params, latents0, cond, uncond):
+        # DiT computes in the params' dtype (bf16 deployed — the reference
+        # runs WanPipeline bf16, `train_vdm.py:332`); sampler state stays
+        # fp32. Without this boundary cast the fp32 scan carry upcasts
+        # every DiT matmul to fp32.
+        dt = jax.tree_util.tree_leaves(dit_params)[0].dtype
+
         def dit_apply(x, ts, text):
-            return wan_dit.forward(dit_params, x, ts, text, cfg.dit,
-                                   remat=False)
+            v = wan_dit.forward(dit_params, x.astype(dt), ts,
+                                text.astype(dt), cfg.dit, remat=False)
+            return v.astype(jnp.float32)
 
         model_fn = unipc.cfg_model(dit_apply, cond, uncond,
                                    cfg.guidance_scale)
         return unipc.sample_scan(model_fn, latents0, ucfg)
 
-    return run(dit_params, latents0, cond, uncond)
+    return run
+
+
+def denoise(dit_params, cond, uncond, cfg: T23DConfig,
+            key: jax.Array | None = None, *, latents0=None):
+    """UniPC CFG denoise → pipeline-space (normalized) latents.
+
+    The WHOLE 50-step loop is one `lax.scan` jit (`unipc.sample_scan`) —
+    a single compiled program instead of 50 host dispatches; 190 ms/step
+    measured at the 1.3B CFG-pair shape (identical to the bare forward —
+    the scan adds nothing)."""
+    if latents0 is None:
+        key = jax.random.key(cfg.seed) if key is None else key
+        latents0 = jax.random.normal(key, cfg.latent_shape, jnp.float32)
+
+    return _denoise_jit(cfg)(dit_params, latents0, cond, uncond)
 
 
 def resize_trilinear_half_pixel(video, size_hw: tuple[int, int]):

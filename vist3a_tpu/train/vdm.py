@@ -128,14 +128,20 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
     mask = jnp.asarray([1.0 if i in chosen else 0.0
                         for i in range(num_steps)], jnp.float32)
 
+    # compute in the params' dtype (bf16 deployed, matching the reference's
+    # FSDP2 bf16 mixed-precision policy, `train_vdm.py:296-304`); the
+    # sampler carry stays fp32 — without the boundary cast an fp32 carry
+    # silently upcasts every DiT matmul to fp32 (6× MXU passes)
+    dt = jax.tree_util.tree_leaves(dit_params_merged)[0].dtype
+
     def model_fn(x, t):
         # input always detached (z_in.detach()); output gating by the
         # backprop mask happens inside sample_scan
-        x2 = jnp.concatenate([x, x], axis=0)
-        text = jnp.concatenate([cond, uncond], axis=0)
+        x2 = jnp.concatenate([x, x], axis=0).astype(dt)
+        text = jnp.concatenate([cond, uncond], axis=0).astype(dt)
         ts = jnp.full((x2.shape[0],), t, jnp.float32)
         v = wan_dit.forward(dit_params_merged, x2, ts, text, dit_cfg,
-                            remat=True)
+                            remat=True).astype(jnp.float32)
         v_c, v_u = jnp.split(v, 2, axis=0)
         return v_u + guidance_scale * (v_c - v_u)
 
@@ -181,8 +187,10 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
 
     def loss_fn(lora):
         merged = merged_dit(dit_params, lora, cfg)
-        pred = wan_dit.forward(merged, z_sigma, ts, sft_text, dit_cfg,
-                               remat=True)
+        dt = jax.tree_util.tree_leaves(merged)[0].dtype
+        pred = wan_dit.forward(merged, z_sigma.astype(dt), ts,
+                               sft_text.astype(dt), dit_cfg,
+                               remat=True).astype(jnp.float32)
         diffusion_loss = flow_match.flow_matching_loss(pred, target)
 
         reward_loss = jnp.float32(0.0)
