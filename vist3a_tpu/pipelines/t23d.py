@@ -134,9 +134,15 @@ def resize_trilinear_half_pixel(video, size_hw: tuple[int, int]):
 def decode_and_reconstruct(params, latents_norm, cfg: T23DConfig, *,
                            return_video: bool = True):
     """params: {"vae", "stitch_conv", "encoder"}.  latents_norm: pipeline
-    output.  Returns (EncoderOutput, decoded video in [−1,1] or None)."""
+    output.  Returns (EncoderOutput, decoded video in [−1,1] or None).
+
+    The VAE decode runs bf16 — the reference's inference VAE is bf16 too
+    (`WanPipeline.from_pretrained(torch_dtype=bf16)`, `inference_t23d.py:
+    73`); the stitched decoder consumes the un-normalized latents directly,
+    so only the exported video and the RGB-skip input see VAE precision."""
     latents = wan_vae.unnormalize_latents(latents_norm)
-    video = wan_vae.decode(params["vae"], latents, cfg.vae)
+    video = wan_vae.decode(params["vae"], latents.astype(jnp.bfloat16),
+                           cfg.vae).astype(jnp.float32)
     feedforward = resize_trilinear_half_pixel(
         video, (cfg.feedforward_size, cfg.feedforward_size))
     out = ca.forward_with_latent(params, latents, feedforward, cfg.stitched,
