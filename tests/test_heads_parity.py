@@ -108,7 +108,8 @@ def test_conv_transpose_matches_torch():
     x = rng.standard_normal((1, 4, 5, 5)).astype(np.float32)
     tconv = torch.nn.ConvTranspose2d(4, 6, 4, stride=4)
     sd = {k: v.detach().numpy() for k, v in tconv.state_dict().items()}
-    params = {"kernel": jnp.asarray(sd["weight"]), "bias": jnp.asarray(sd["bias"])}
+    params = {"kernel_hwio": jnp.asarray(sd["weight"].transpose(2, 3, 1, 0)),
+              "bias": jnp.asarray(sd["bias"])}
     ref = tconv(torch.from_numpy(x)).detach().numpy()
     out = np.asarray(H.conv_transpose2d(params, jnp.asarray(x), stride=4))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
@@ -237,3 +238,39 @@ def test_gaussian_adapter_parity():
                                ref_g.harmonics.numpy(), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.scales), ref_g.scales.numpy(),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_covariance_entries_match_build_covariance():
+    """Packed (…, 9) covariance entries == build_covariance row-major
+    (the loss-path form that avoids the T(4,128)-padded 3×3 temps)."""
+    from vist3a_tpu.nn import gaussians as ga
+    rng = np.random.default_rng(0)
+    scale = jnp.asarray(np.abs(rng.standard_normal((2, 50, 3))) * 0.1)
+    quat = jnp.asarray(rng.standard_normal((2, 50, 4)))
+    full = ga.build_covariance(scale, quat)
+    packed = ga.covariance_entries(scale, quat)
+    np.testing.assert_allclose(np.asarray(packed),
+                               np.asarray(full.reshape(2, 50, 9)),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride,ci,co", [(1, 512, 256), (2, 640, 640)])
+def test_conv3x3_matmul_path_matches_conv(stride, ci, co):
+    """The im2col-matmul path (big-channel 3×3 sites) == the conv path."""
+    rng = np.random.default_rng(7)
+    k = jnp.asarray(rng.standard_normal((3, 3, ci, co)).astype(np.float32)
+                    * 0.02)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, ci)).astype(np.float32))
+    k2 = k.reshape(9 * ci, co)
+    params = {"kernel_mat3": k2, "bias": jnp.asarray(
+        rng.standard_normal((co,)).astype(np.float32))}
+    got = H.conv2d(params, x, stride=stride, padding=1, channels_last=True)
+    want = H._conv3x3_matmul(k2, ci, x, stride, 1) + params["bias"]
+    # independent torch reference
+    ref = torch.nn.functional.conv2d(
+        torch.from_numpy(np.asarray(x.transpose(0, 3, 1, 2))),
+        torch.from_numpy(np.asarray(k.transpose(3, 2, 0, 1))),
+        torch.from_numpy(np.asarray(params["bias"])),
+        stride=stride, padding=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(want), ref, rtol=2e-4, atol=2e-4)

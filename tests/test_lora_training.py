@@ -215,7 +215,7 @@ def test_stitch_train_step_runs_and_descends(tiny_stitched, mesh8):
     metrics_hist = []
     for _ in range(2):
         state, metrics = st.stitch_train_step(
-            state, frozen, params["encoder"], latent, images, teacher01,
+            state, params["encoder"], latent, images, teacher01,
             scfg, scfg.encoder, lora_spec=tcfg_train.lora_spec,
             train_cfg=tcfg_train)
         metrics_hist.append(jax.tree.map(float, metrics))
@@ -228,3 +228,32 @@ def test_stitch_train_step_runs_and_descends(tiny_stitched, mesh8):
     assert any(
         not np.array_equal(np.zeros_like(x), np.asarray(x))
         for x in jax.tree.leaves(state.trainable["lora"]))
+
+
+def test_conv_hwio_lora_merge_matches_oihw():
+    """HWIO conv-site merge (heads storage) == legacy OIHW merge."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    o, i, k, r = 6, 4, 3, 2
+    kern = rng.standard_normal((o, i, k, k)).astype(np.float32)
+    cfg = lora_mod.LoraConfig(r=r, alpha=4)
+    a = rng.standard_normal((i * k, r * k)).astype(np.float32)
+    b = rng.standard_normal((r * k, o * k)).astype(np.float32)
+    fac = {"a": jnp.asarray(a), "b": jnp.asarray(b)}
+    merged_oihw = lora_mod._merge_site({"kernel": jnp.asarray(kern)},
+                                       fac, "conv", cfg.scaling)["kernel"]
+    merged_hwio = lora_mod._merge_site(
+        {"kernel_hwio": jnp.asarray(kern.transpose(2, 3, 1, 0))},
+        fac, "conv_hwio", cfg.scaling)["kernel_hwio"]
+    np.testing.assert_allclose(np.asarray(merged_hwio),
+                               np.asarray(merged_oihw).transpose(2, 3, 1, 0),
+                               rtol=1e-6, atol=1e-6)
+    merged_mat = lora_mod._merge_site(
+        {"kernel_mat3": jnp.asarray(
+            kern.transpose(2, 3, 1, 0).reshape(k * k * i, o))},
+        fac, "conv_mat3", cfg.scaling)["kernel_mat3"]
+    np.testing.assert_allclose(
+        np.asarray(merged_mat),
+        np.asarray(merged_oihw).transpose(2, 3, 1, 0).reshape(k * k * i, o),
+        rtol=1e-6, atol=1e-6)

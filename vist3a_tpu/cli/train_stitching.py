@@ -67,7 +67,7 @@ def run(params: dict, scfg: ca.StitchedConfig, loader, sampler, *,
             teacher01 = jnp.swapaxes((ff_images + 1.0) * 0.5, 1, 2)
 
             state, metrics = st.stitch_train_step(
-                state, frozen, teacher, latent, ff_images, teacher01,
+                state, teacher, latent, ff_images, teacher01,
                 scfg, scfg.encoder, lora_spec=train_cfg.lora_spec,
                 train_cfg=train_cfg)
             if gstep % log_every == 0:

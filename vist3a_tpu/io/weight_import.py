@@ -38,6 +38,29 @@ def _conv(sd, prefix):
     return p
 
 
+def _conv_hwio(sd, prefix):
+    """ConvTranspose2d sites store the HWIO transpose of torch's IOHW
+    weight (`nn/heads.py:conv_transpose2d`)."""
+    w = np.asarray(sd[f"{prefix}.weight"])
+    p = {"kernel_hwio": jnp.asarray(w.transpose(2, 3, 1, 0))}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
+def _conv_mat(sd, prefix):
+    """Head Conv2d sites store the kernel as a 2D (kh·kw·ci, co) matrix
+    under `kernel_mat<k>` (`nn/heads.py:conv2d` — conv-operand layouts pad
+    small spatial dims 56.9× on TPU)."""
+    w = np.asarray(sd[f"{prefix}.weight"])          # OIHW
+    o, i, kh, kw = w.shape
+    mat = w.transpose(2, 3, 1, 0).reshape(kh * kw * i, o)
+    p = {f"kernel_mat{kh}": jnp.asarray(mat)}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = _t(sd, f"{prefix}.bias")
+    return p
+
+
 def _ln(sd, prefix):
     return {"scale": _t(sd, f"{prefix}.weight"), "bias": _t(sd, f"{prefix}.bias")}
 
@@ -135,30 +158,30 @@ def import_dpt_head(sd, prefix: str = "depth_head.") -> dict:
     p = prefix
     params = {
         "norm": _ln(sd, f"{p}norm"),
-        "projects": [_conv(sd, f"{p}projects.{i}") for i in range(4)],
-        "resize0": _conv(sd, f"{p}resize_layers.0"),
-        "resize1": _conv(sd, f"{p}resize_layers.1"),
-        "resize3": _conv(sd, f"{p}resize_layers.3"),
-        "layer_rn": [_conv(sd, f"{p}scratch.layer{i + 1}_rn") for i in range(4)],
-        "output_conv1": _conv(sd, f"{p}scratch.output_conv1"),
+        "projects": [_conv_mat(sd, f"{p}projects.{i}") for i in range(4)],
+        "resize0": _conv_hwio(sd, f"{p}resize_layers.0"),
+        "resize1": _conv_hwio(sd, f"{p}resize_layers.1"),
+        "resize3": _conv_mat(sd, f"{p}resize_layers.3"),
+        "layer_rn": [_conv_mat(sd, f"{p}scratch.layer{i + 1}_rn") for i in range(4)],
+        "output_conv1": _conv_mat(sd, f"{p}scratch.output_conv1"),
         "output_conv2": [
-            _conv(sd, f"{p}scratch.output_conv2.0"),
-            _conv(sd, f"{p}scratch.output_conv2.2"),
+            _conv_mat(sd, f"{p}scratch.output_conv2.0"),
+            _conv_mat(sd, f"{p}scratch.output_conv2.2"),
         ],
     }
     for n in (1, 2, 3, 4):
         rn = f"{p}scratch.refinenet{n}"
         fp = {
             "res2": {
-                "conv1": _conv(sd, f"{rn}.resConfUnit2.conv1"),
-                "conv2": _conv(sd, f"{rn}.resConfUnit2.conv2"),
+                "conv1": _conv_mat(sd, f"{rn}.resConfUnit2.conv1"),
+                "conv2": _conv_mat(sd, f"{rn}.resConfUnit2.conv2"),
             },
-            "out_conv": _conv(sd, f"{rn}.out_conv"),
+            "out_conv": _conv_mat(sd, f"{rn}.out_conv"),
         }
         if f"{rn}.resConfUnit1.conv1.weight" in sd:
             fp["res1"] = {
-                "conv1": _conv(sd, f"{rn}.resConfUnit1.conv1"),
-                "conv2": _conv(sd, f"{rn}.resConfUnit1.conv2"),
+                "conv1": _conv_mat(sd, f"{rn}.resConfUnit1.conv1"),
+                "conv2": _conv_mat(sd, f"{rn}.resConfUnit1.conv2"),
             }
         params[f"refinenet{n}"] = fp
     return params
@@ -166,7 +189,7 @@ def import_dpt_head(sd, prefix: str = "depth_head.") -> dict:
 
 def import_gs_head(sd, prefix: str = "gaussian_param_head.") -> dict:
     params = import_dpt_head(sd, prefix)
-    params["input_merger"] = _conv(sd, f"{prefix}input_merger.0")
+    params["input_merger"] = _conv_mat(sd, f"{prefix}input_merger.0")
     return params
 
 

@@ -261,8 +261,12 @@ def _flash_core_t_bwd(scale, bq, bk, interpret, res, g):
         return _pad_to(jnp.swapaxes(x, 1, 2), d_pad, 2)
 
     lse128 = jnp.broadcast_to(lse[:, :, None], (*lse.shape, 128))
+    # the backward works on the 128-padded natural layout, whose tiles are
+    # twice the transposed forward's — the forward's bq=2048 overflows the
+    # 16 MB scoped-VMEM budget at the multi-view global shape (measured:
+    # 16.84 MB requested). Cap the backward q block at 1024.
     dq, dk, dv = _flash_bwd(
-        scale, bq, bk, interpret,
+        scale, min(bq, 1024), bk, interpret,
         (to_nat(qt), to_nat(kt), to_nat(vt), to_nat(ot), lse128),
         to_nat(g))
     return (jnp.swapaxes(dq[..., :d], 1, 2),

@@ -130,6 +130,12 @@ def run_trunk(
     keeps symmetry with the chopped stitched path.
     """
     blk_cfg = cfg.block_config()
+    # trunk compute dtype follows the params (bf16 deployed): without this
+    # boundary cast an fp32 entry (training/NVS latents, teacher images)
+    # silently upcasts every trunk matmul to fp32 — the reference runs the
+    # trunk bf16 both in autocast training and at inference
+    dt = jax.tree_util.tree_leaves(params["frame_blocks"])[0].dtype
+    tokens = tokens.astype(dt)
     b, s, p, c = tokens.shape
     rope_f, rope_g = rope_tables(cfg, *grid_hw, n_frames=s)
 

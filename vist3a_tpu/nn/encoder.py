@@ -125,7 +125,8 @@ def cast_trunk_bf16(params: dict) -> dict:
 
 
 def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
-                   images01: jnp.ndarray) -> EncoderOutput:
+                   images01: jnp.ndarray, *,
+                   remat: bool = False) -> EncoderOutput:
     """taps (4 × (B,S,P,2C)) + images (B,S,3,H,W) in [0,1] → EncoderOutput.
 
     Heads run fp32 regardless of trunk dtype (`anysplat.py:421`,
@@ -149,12 +150,13 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
         # and report depth as the points' z (documented deviation — the
         # only self-consistent completion of the reference behavior).
         pts, depth_conf = dpt_apply(params["point_head"], taps, (h, w), psi,
-                                    cfg.point, (b, s))       # (B,S,H,W,3)
+                                    cfg.point, (b, s),
+                                    remat=remat)             # (B,S,H,W,3)
         depth = pts[..., 2:3]
     else:
         # depth → world points (deployed path, `anysplat.py:434-443`)
         depth, depth_conf = dpt_apply(params["depth_head"], taps, (h, w),
-                                      psi, cfg.depth, (b, s))
+                                      psi, cfg.depth, (b, s), remat=remat)
         pts = unproject_depth(depth, extrinsic, intrinsic)    # (B,S,H,W,3)
 
     # confidence mask (global quantile over all views/pixels)
@@ -165,7 +167,8 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
         conf_valid = jnp.ones_like(depth_conf, dtype=bool)
 
     # Gaussian params head (with RGB skip); raw is channels-last (B,S,H,W,84)
-    raw = gs_head_apply(params["gs_head"], taps, images01, psi, cfg.gs)
+    raw = gs_head_apply(params["gs_head"], taps, images01, psi, cfg.gs,
+                        remat=remat)
     gs_conf = raw[..., cfg.raw_gs_dim]                        # (B,S,H,W)
     # reference-layout (B,S,83,H,W) view for the API/loss surface; the
     # assembly below reads the NHWC form directly (no 0.9 GB transpose on
@@ -222,4 +225,4 @@ def forward(params: dict, images01: jnp.ndarray,
     """
     taps, _ = agg_mod.forward(params["aggregator"], params["vit"], images01,
                               cfg.agg, cfg.vit, remat=remat)
-    return heads_pipeline(params, cfg, taps, images01)
+    return heads_pipeline(params, cfg, taps, images01, remat=remat)

@@ -49,6 +49,31 @@ def build_covariance(scale: jnp.ndarray, rotation_xyzw: jnp.ndarray) -> jnp.ndar
     return jnp.einsum("...ij,...kj->...ik", rs, rs, precision="highest")
 
 
+def covariance_entries(scale: jnp.ndarray,
+                       rotation_xyzw: jnp.ndarray) -> jnp.ndarray:
+    """`build_covariance` as a channels-LAST stack (..., 9) of row-major
+    entries, computed from (...)-shaped lanes only.
+
+    Same math as `build_covariance`, but no (..., 3, 3) intermediate ever
+    exists: XLA tiles a (P, 3, 3) fp32 temp as T(4,128) — 56.9× padding,
+    3.4 GB per live copy at the 9-view training shape, which OOMed the
+    single-chip distillation step.  The loss path uses this form; the
+    (..., 3, 3) API field is unchanged (and dead-code-eliminated when only
+    the loss consumes covariances)."""
+    r9 = quat_to_mat(rotation_xyzw, eps=1e-8)
+    r9 = jnp.moveaxis(r9.reshape(*r9.shape[:-2], 9), -1, 0)   # 9 × (...,)
+    s = jnp.moveaxis(scale, -1, 0)                            # 3 × (...,)
+    # rows of M = R diag(s): m[a][j] = r[a][j] * s[j]
+    m = [[r9[a * 3 + j] * s[j] for j in range(3)] for a in range(3)]
+
+    def sig(a, b):
+        return (m[a][0] * m[b][0] + m[a][1] * m[b][1]
+                + m[a][2] * m[b][2])
+
+    return jnp.stack([sig(a, b) for a in range(3) for b in range(3)],
+                     axis=-1)
+
+
 def map_pdf_to_opacity(pdf: jnp.ndarray, global_step: int = 0,
                        initial: float = 0.0, final: float = 0.0,
                        warm_up: int = 1) -> jnp.ndarray:

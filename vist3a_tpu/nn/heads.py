@@ -66,49 +66,99 @@ def conv2d_init(key, c_in, c_out, k, *, bias=True, dtype=jnp.float32):
     fan_in = c_in * k * k
     bound = 1.0 / np.sqrt(fan_in)
     wk, bk = jax.random.split(key)
-    p = {"kernel": jax.random.uniform(wk, (c_out, c_in, k, k), dtype, -bound, bound)}
+    p = {f"kernel_mat{k}": jax.random.uniform(
+        wk, (k * k * c_in, c_out), dtype, -bound, bound)}
     if bias:
         p["bias"] = jax.random.uniform(bk, (c_out,), dtype, -bound, bound)
     return p
 
 
+def conv_mat_key(params) -> str:
+    """The single `kernel_mat<k>` key of a heads conv node (k = static
+    spatial size, encoded in the KEY so it never rides a traced leaf)."""
+    for key in params:
+        if key.startswith("kernel_mat"):
+            return key
+    raise KeyError(f"no kernel_mat<k> in {list(params)}")
+
+
 def conv2d(params, x, *, stride=1, padding=0, channels_last=False):
-    """Kernel stored OIHW (torch import layout).  channels_last=True runs the
-    conv in NHWC — the layout the TPU conv engine wants (NCHW forces XLA to
-    insert transposes around every conv; the DPT pipeline runs entirely
-    NHWC internally)."""
-    k = params["kernel"].astype(x.dtype)
-    lay = ("NHWC", "OIHW", "NHWC") if channels_last else \
-        ("NCHW", "OIHW", "NCHW")
-    dn = lax.conv_dimension_numbers(x.shape, k.shape, lay)
-    out = lax.conv_general_dilated(
-        x, k, (stride, stride), [(padding, padding)] * 2,
-        dimension_numbers=dn, precision=_P,
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    """Kernel stored as a 2D (kh·kw·ci, co) matrix under `kernel_mat<k>`
+    (row-major over (kh, kw, ci); importers flatten from torch OIHW; the
+    static spatial size k lives in the key name).
+
+    WHY 2D: XLA assigns conv KERNEL operands a spatial-minor layout that
+    tiles a 3×3 kernel's (3, 3) dims at T(4,128) — 56.9× padding.  For the
+    LoRA-merged 1024² head kernels that meant 1–2 GB per live temp (merged
+    kernel, its remat residual, and its cotangent), the dominant OOM source
+    for the single-chip training step.  Stored 2D, the merge/add, the remat
+    residual, and the im2col matmul all stay on cleanly tiled matrices;
+    only small-channel sites reshape to 4D for `conv_general_dilated`.
+
+    Big-channel 3×3 sites run as explicit im2col matmuls; the patches are
+    transient and small at the ≤64² resolutions where those sites live.
+    channels_last=True runs convs in NHWC (the DPT pipeline is fully NHWC
+    internally)."""
+    key = conv_mat_key(params)
+    ksize = int(key[len("kernel_mat"):])
+    k2 = params[key].astype(x.dtype)
+    co = k2.shape[1]
+    kh = kw = ksize
+    ci = k2.shape[0] // (kh * kw)
+    if channels_last and ksize == 3 and max(ci, co) >= 512:
+        out = _conv3x3_matmul(k2, ci, x, stride, padding)
+    else:
+        k = k2.reshape(kh, kw, ci, co)
+        lay = ("NHWC", "HWIO", "NHWC") if channels_last else \
+            ("NCHW", "HWIO", "NCHW")
+        dn = lax.conv_dimension_numbers(x.shape, k.shape, lay)
+        out = lax.conv_general_dilated(
+            x, k, (stride, stride), [(padding, padding)] * 2,
+            dimension_numbers=dn, precision=_P,
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
     if "bias" in params:
         b = params["bias"].astype(x.dtype)
         out = out + (b if channels_last else b[None, :, None, None])
     return out
 
 
+def _conv3x3_matmul(k2, ci, x, stride, padding):
+    """NHWC 3×3 conv as im2col + one matmul (see `conv2d` docstring).
+    k2: (9·ci, co) row-major over (kh, kw, ci); x: (N, H, W, ci)."""
+    co = k2.shape[1]
+    n, h, w, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    oh = (h + 2 * padding - 3) // stride + 1
+    ow = (w + 2 * padding - 3) // stride + 1
+    patches = jnp.concatenate(
+        [xp[:, dy:dy + oh * stride:stride, dx:dx + ow * stride:stride, :]
+         for dy in range(3) for dx in range(3)], axis=-1)
+    out = jnp.dot(patches.reshape(n * oh * ow, 9 * ci), k2, precision=_P,
+                  preferred_element_type=jnp.float32)
+    return out.reshape(n, oh, ow, co).astype(x.dtype)
+
+
 def conv_transpose2d_init(key, c_in, c_out, k, *, dtype=jnp.float32):
-    # torch ConvTranspose2d weight layout: (in, out, kh, kw)
+    # stored (kh, kw, c_out, c_in) — the HWIO form of torch's
+    # ConvTranspose2d (in, out, kh, kw) weight
     fan_in = c_out * k * k  # torch uses weight.size(1)*k*k for init bounds
     bound = 1.0 / np.sqrt(fan_in)
     wk, bk = jax.random.split(key)
     return {
-        "kernel": jax.random.uniform(wk, (c_in, c_out, k, k), dtype, -bound, bound),
+        "kernel_hwio": jax.random.uniform(
+            wk, (k, k, c_out, c_in), dtype, -bound, bound),
         "bias": jax.random.uniform(bk, (c_out,), dtype, -bound, bound),
     }
 
 
 def conv_transpose2d(params, x, *, stride, channels_last=False):
-    k = params["kernel"].astype(x.dtype)
     # torch ConvTranspose2d weight (in,out,kh,kw) is the OIHW kernel of the
-    # forward conv being transposed; transpose_kernel flips/swaps it for us.
-    lay = ("NHWC", "OIHW", "NHWC") if channels_last else \
-        ("NCHW", "OIHW", "NCHW")
+    # forward conv being transposed (stored here as its HWIO transpose);
+    # transpose_kernel flips/swaps it for us.
+    k = params["kernel_hwio"].astype(x.dtype)
+    lay = ("NHWC", "HWIO", "NHWC") if channels_last else \
+        ("NCHW", "HWIO", "NCHW")
     out = lax.conv_transpose(
         x, k, (stride, stride), "VALID",
         dimension_numbers=lay,
@@ -327,7 +377,8 @@ def _frame_chunks(n: int, chunk: int):
     return [(i, min(i + chunk, n)) for i in range(0, n, chunk)]
 
 
-def _dpt_frames(params, taps_flat, images_hw, patch_start_idx, cfg: DPTConfig):
+def _dpt_frames(params, taps_flat, *, images_hw, patch_start_idx,
+                cfg: DPTConfig):
     """Per-frame DPT pipeline on pre-flattened taps (4 × (N,P,2C)) →
     (N, H', W', output_dim) channels-last.  Pure per-frame math — chunking
     over N is exact."""
@@ -347,18 +398,27 @@ def _dpt_frames(params, taps_flat, images_hw, patch_start_idx, cfg: DPTConfig):
 
 
 def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
-              cfg: DPTConfig, batch_seq: tuple[int, int]):
+              cfg: DPTConfig, batch_seq: tuple[int, int], *,
+              remat: bool = False):
     """Depth-style DPT: returns (preds (B,S,H,W,C-1), conf (B,S,H,W)).
 
     Frames processed in chunks of `cfg.frames_chunk_size` (HBM bound, same
-    scheme as the reference's `frames_chunk_size=8`)."""
+    scheme as the reference's `frames_chunk_size=8`).  remat=True
+    checkpoints each chunk (the 448² conv activations are the largest
+    training temps; the reference grad-checkpoints these heads too,
+    `models/anysplat_stitched.py:336-407`)."""
     h, w = images_hw
     b, s = batch_seq
+    frames_fn = jax.checkpoint(
+        functools.partial(_dpt_frames, images_hw=images_hw,
+                          patch_start_idx=patch_start_idx, cfg=cfg),
+        static_argnums=()) if remat else functools.partial(
+        _dpt_frames, images_hw=images_hw,
+        patch_start_idx=patch_start_idx, cfg=cfg)
     taps_flat = [t.reshape(b * s, *t.shape[2:]) for t in taps]
     chunks = []
     for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size):
-        chunks.append(_dpt_frames(params, [t[lo:hi] for t in taps_flat],
-                                  images_hw, patch_start_idx, cfg))
+        chunks.append(frames_fn(params, [t[lo:hi] for t in taps_flat]))
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
     # activate (`heads/head_act.py:61-112`); out is already (BS, H, W, C)
     fmap = out
@@ -413,7 +473,7 @@ def gs_head_init(key, cfg: GSHeadConfig, dtype=jnp.float32) -> dict:
     return p
 
 
-def _gs_frames(params, taps_flat, imgs, cfg: GSHeadConfig,
+def _gs_frames(params, taps_flat, imgs, *, cfg: GSHeadConfig,
                patch_start_idx: int):
     """imgs: (N, H, W, 3) channels-last."""
     h, w = imgs.shape[1:3]
@@ -431,17 +491,21 @@ def _gs_frames(params, taps_flat, imgs, cfg: GSHeadConfig,
                   channels_last=True)
 
 
-def gs_head_apply(params, taps, images, patch_start_idx: int, cfg: GSHeadConfig):
+def gs_head_apply(params, taps, images, patch_start_idx: int,
+                  cfg: GSHeadConfig, *, remat: bool = False):
     """images: (B,S,3,H,W) in [0,1].  Returns raw (B,S,H,W,output_dim)
     channels-last (the assembly in `heads_pipeline` consumes NHWC directly;
     the reference's (…,C,H,W) form would force a 0.9 GB transpose).
     Frame-chunked like the reference (`vggt_dpt_gs_head.py:86-121`)."""
     b, s, _, h, w = images.shape
+    frames_fn = functools.partial(_gs_frames, cfg=cfg,
+                                  patch_start_idx=patch_start_idx)
+    if remat:
+        frames_fn = jax.checkpoint(frames_fn)
     taps_flat = [t.reshape(b * s, *t.shape[2:]) for t in taps]
     imgs_flat = images.reshape(b * s, 3, h, w).transpose(0, 2, 3, 1)
     chunks = [
-        _gs_frames(params, [t[lo:hi] for t in taps_flat], imgs_flat[lo:hi],
-                   cfg, patch_start_idx)
+        frames_fn(params, [t[lo:hi] for t in taps_flat], imgs_flat[lo:hi])
         for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size)
     ]
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)

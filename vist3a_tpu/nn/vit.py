@@ -162,8 +162,12 @@ def forward_features(
     *,
     remat: bool = True,
 ) -> dict:
-    """Full trunk; returns normalized cls/register/patch token groups."""
+    """Full trunk; returns normalized cls/register/patch token groups.
+
+    Block compute dtype follows the params (bf16 deployed) — see the
+    boundary-cast note in `aggregator.run_trunk`."""
     x = prepare_tokens(params, images, cfg)
+    x = x.astype(jax.tree_util.tree_leaves(params["blocks"])[0].dtype)
     x = scan_blocks(params["blocks"], x, cfg.block_config(), remat=remat)
     xn = layer_norm(params["norm"], x, cfg.ln_eps)
     r = cfg.num_register_tokens

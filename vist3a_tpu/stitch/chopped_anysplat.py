@@ -90,6 +90,10 @@ def chopped_vit_forward(vit_params: dict, tokens: jnp.ndarray,
     Token injection per `models/anysplat_stitched.py:179-211`.
     """
     vcfg = cfg.encoder.vit
+    # trunk dtype follows the params (see `aggregator.run_trunk`); the
+    # stitch conv before this boundary stays at the latent dtype
+    tokens = tokens.astype(
+        jax.tree_util.tree_leaves(vit_params["blocks"])[0].dtype)
     n = tokens.shape[0]
     d = tokens.shape[-1]
     cls = jnp.broadcast_to(vit_params["cls_token"].astype(tokens.dtype),
@@ -136,7 +140,8 @@ def stitched_forward(params: dict, stitched_tokens: jnp.ndarray,
 
     _, taps = agg_mod.run_trunk(agg_params, tokens, acfg, (gh, gw),
                                 remat=remat)
-    return heads_pipeline(params["encoder"], cfg.encoder, taps, images01)
+    return heads_pipeline(params["encoder"], cfg.encoder, taps,
+                          images01, remat=remat)
 
 
 def forward_with_latent(params: dict, latent: jnp.ndarray,

@@ -89,7 +89,7 @@ def parse_lora_mode(spec: str) -> LoraConfig:
 # site discovery                                                              #
 # --------------------------------------------------------------------------- #
 def _site_kind(node) -> Optional[str]:
-    """'linear' | 'conv' | None for a params dict node."""
+    """'linear' | 'conv' | 'conv_hwio' | None for a params dict node."""
     if not isinstance(node, dict):
         return None
     if "w" in node and getattr(node["w"], "ndim", 0) in (2, 3):
@@ -97,6 +97,12 @@ def _site_kind(node) -> Optional[str]:
     k = node.get("kernel")
     if k is not None and k.ndim == 4 and k.shape[-1] == k.shape[-2]:
         return "conv"
+    k = node.get("kernel_hwio")
+    if k is not None and k.ndim == 4 and k.shape[0] == k.shape[1]:
+        return "conv_hwio"
+    for key in node:
+        if isinstance(key, str) and key.startswith("kernel_mat"):
+            return f"conv_mat{key[len('kernel_mat'):]}"
     return None
 
 
@@ -143,8 +149,15 @@ def _init_site(key, kind, node, r, dtype):
             bound = 1.0 / jnp.sqrt(d_in)
             a = jax.random.uniform(key, (n_l, d_in, r), dtype, -bound, bound)
             b = jnp.zeros((n_l, r, d_out), dtype)
-    else:  # conv, OIHW
-        o, i, kh, kw = node["kernel"].shape
+    else:  # conv (OIHW) / conv_hwio (convT) / conv_mat<k> — same factors
+        if kind == "conv":
+            o, i, kh, kw = node["kernel"].shape
+        elif kind == "conv_hwio":
+            kh, kw, i, o = node["kernel_hwio"].shape
+        else:
+            kh = kw = int(kind[len("conv_mat"):])
+            mat = node[f"kernel_mat{kh}"]
+            i, o = mat.shape[0] // (kh * kw), mat.shape[1]
         # torch ConvLoRA: A (r·k, i·k) kaiming(fan_in=i·k), B (o·k, r·k) zeros
         bound = 1.0 / jnp.sqrt(i * kh)
         a = jax.random.uniform(key, (i * kh, r * kh), dtype, -bound, bound)
@@ -171,14 +184,32 @@ def _merge_site(node, factors, kind, scaling):
         w = node["w"]
         delta = (jnp.matmul(a, b) * scaling).astype(w.dtype)
         return {**node, "w": w + delta}
-    kern = node["kernel"]
-    o, i, kh, kw = kern.shape
-    # torch: (B@A).view(o,i,kh,kw) with B (o·k, r·k), A (r·k, i·k)
-    # (`layers.py:350-355`) — a flat reshape of the (o·k, i·k) product.
-    # Our transposed factors give a@b = (B@A)ᵀ; transpose back, then reshape.
+    if kind == "conv":
+        kern = node["kernel"]
+        o, i, kh, kw = kern.shape
+        # torch: (B@A).view(o,i,kh,kw) with B (o·k, r·k), A (r·k, i·k)
+        # (`layers.py:350-355`) — a flat reshape of the (o·k, i·k) product.
+        # Our transposed factors give a@b = (B@A)ᵀ; transpose back + reshape.
+        delta = (jnp.matmul(a, b) * scaling).astype(kern.dtype)
+        delta = delta.T.reshape(o, i, kh, kw)
+        return {**node, "kernel": kern + delta}
+    if kind == "conv_hwio":
+        kern = node["kernel_hwio"]
+        kh, kw, i, o = kern.shape
+        delta = (jnp.matmul(a, b) * scaling).astype(kern.dtype)
+        delta = delta.T.reshape(o, i, kh, kw).transpose(2, 3, 1, 0)
+        return {**node, "kernel_hwio": kern + delta}
+    # conv_mat<k>: merged kernel stays a 2D (kh·kw·i, o) matrix end to end —
+    # the add, its remat residual, and its cotangent are all cleanly tiled
+    # (the 4D conv-kernel layout padded 3×3 dims 56.9×, see nn/heads.py)
+    kh = kw = int(kind[len("conv_mat"):])
+    key = f"kernel_mat{kh}"
+    kern = node[key]
+    i, o = kern.shape[0] // (kh * kw), kern.shape[1]
     delta = (jnp.matmul(a, b) * scaling).astype(kern.dtype)
-    delta = delta.T.reshape(o, i, kh, kw)
-    return {**node, "kernel": kern + delta}
+    delta = delta.T.reshape(o, i, kh, kw).transpose(2, 3, 1, 0)
+    delta = delta.reshape(kh * kw * i, o)
+    return {**node, key: kern + delta}
 
 
 def merge_lora(params, lora, cfg: LoraConfig):

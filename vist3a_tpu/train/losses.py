@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from vist3a_tpu.nn.encoder import EncoderOutput
+from vist3a_tpu.nn.gaussians import covariance_entries
 
 
 def _l1(a, b):
@@ -65,7 +66,13 @@ def task_loss(student: EncoderOutput, teacher: EncoderOutput) -> dict:
         "depth_loss_grad":
             gradient_loss_multi_scale(student.depth, teacher.depth) * 0.005,
         "gaussian_mean_loss": _l1(sg.means, tg.means),
-        "gaussian_covariance_loss": _l1(sg.covariances, tg.covariances),
+        # identical to _l1 over the (B,G,3,3) covariances, but computed from
+        # the packed (B,G,9) entry stack — the 3×3 temps tile to T(4,128)
+        # on TPU (56.9× padding; 3×3.4 GB live copies OOMed the single-chip
+        # step), and with covariances unused the adapter's 3×3 build is DCE'd
+        "gaussian_covariance_loss": _l1(
+            covariance_entries(sg.scales, sg.rotations),
+            covariance_entries(tg.scales, tg.rotations)),
         "gaussian_harmonics_loss": _l1(sg.harmonics, tg.harmonics),
         "gaussian_opacity_loss": _l1(sg.opacities, tg.opacities),
         "gaussian_scales_loss": _l1(sg.scales, tg.scales) * 10.0,

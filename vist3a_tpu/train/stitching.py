@@ -103,6 +103,10 @@ def init_train_state(key: jax.Array, params: dict, cfg: StitchTrainConfig):
     lcfg = cfg.lora
     lora = lora_mod.init_lora(key, params["encoder"], lcfg)
     taken, frozen = partition(params, trainable_predicate(params, lcfg))
+    # deep-copy the taken leaves: at init they alias the teacher's buffers
+    # (the student chops the SAME pretrained tree), and aliasing would
+    # forbid donating the state to `stitch_train_step`
+    taken = jax.tree_util.tree_map(jnp.array, taken)
     trainable = {"lora": lora, "model": taken}
     opt_state = build_optimizer(cfg).init(trainable)
     return TrainState(jnp.zeros((), jnp.int32), trainable, opt_state), frozen
@@ -124,12 +128,10 @@ def loss_fn(trainable, frozen, teacher_out, latent, images, scfg: StitchedConfig
     return losses["total_loss"], losses
 
 
-# NOTE: no buffer donation — state.trainable["model"] leaves may alias the
-# teacher tree (the teacher and the student's frozen base share weights at
-# init), and XLA rejects donating a buffer that is also a plain argument.
 @partial(jax.jit,
-         static_argnames=("scfg", "tcfg", "lora_spec", "train_cfg"))
-def stitch_train_step(state: TrainState, frozen, teacher_params,
+         static_argnames=("scfg", "tcfg", "lora_spec", "train_cfg"),
+         donate_argnames=("state",))
+def stitch_train_step(state: TrainState, teacher_params,
                       latent, images, images_teacher01,
                       scfg: StitchedConfig, tcfg,
                       lora_spec: str = "r64,a32,d0.0,f0",
@@ -142,10 +144,21 @@ def stitch_train_step(state: TrainState, frozen, teacher_params,
     images:           (B, 3, S, H, W) in [−1, 1] — feedforward input.
     images_teacher01: (B, S, 3, H, W) in [0, 1] — teacher input
                       (`model_stitching_training.py:129-137`).
+
+    The student's frozen base is DERIVED from `teacher_params` inside the
+    step — the reference chops the very same pretrained module instances,
+    so teacher and student share one copy of the trunk; passing a separate
+    `frozen` tree doubled ~2.3 GB of arguments on a 16 GB chip.  The state
+    is donated (trainable leaves are copies since `init_train_state`).
     """
     lora_cfg = lora_mod.parse_lora_mode(lora_spec)
     teacher_out = encoder_mod.forward(teacher_params, images_teacher01, tcfg)
     teacher_out = jax.tree_util.tree_map(jax.lax.stop_gradient, teacher_out)
+
+    shape_tree = {"stitch_conv": state.trainable["model"]["stitch_conv"],
+                  "encoder": teacher_params}
+    _, frozen = partition(shape_tree,
+                          trainable_predicate(shape_tree, lora_cfg))
 
     grads, losses = jax.grad(loss_fn, has_aux=True)(
         state.trainable, frozen, teacher_out, latent, images, scfg, lora_cfg)
