@@ -65,14 +65,14 @@ def test_latent_shape(tiny_cfg):
 
 def test_full_pipeline(tiny_cfg, tiny_params, tmp_path):
     cfg, params = tiny_cfg, tiny_params
-    out, paths = t23d.text_to_3dgs(
+    (gaussians, extr, intr), paths = t23d.text_to_3dgs(
         params, fake_tokenize(cfg), "a red chair in a garden",
         str(tmp_path / "scene"), cfg, orbit_t=1)   # small orbit: CI speed
 
     s, hw = cfg.num_frames, cfg.feedforward_size
-    assert out.gaussians.means.shape == (1, s * hw * hw, 3)
-    assert out.depth.shape == (1, s, hw, hw, 1)
-    for leaf in jax.tree.leaves(out._asdict()):
+    assert gaussians.means.shape == (1, s * hw * hw, 3)
+    assert extr.shape == (1, s, 4, 4) and intr.shape == (1, s, 3, 3)
+    for leaf in jax.tree.leaves((gaussians, extr, intr)):
         assert np.isfinite(np.asarray(leaf)).all()
 
     gs_mp4, depth_mp4, ply = paths
@@ -82,14 +82,14 @@ def test_full_pipeline(tiny_cfg, tiny_params, tmp_path):
     data = load_ply(ply)
     assert len(data["x"]) == s * hw * hw
     np.testing.assert_allclose(data["x"],
-                               np.asarray(out.gaussians.means[0, :, 0]),
+                               np.asarray(gaussians.means[0, :, 0]),
                                rtol=1e-5, atol=1e-6)
     # wxyz quats, normalized
     q = np.stack([data[f"rot_{i}"] for i in range(4)], -1)
     np.testing.assert_allclose(np.linalg.norm(q, axis=-1), 1.0, atol=1e-4)
     # log scales round-trip
     np.testing.assert_allclose(np.exp(data["scale_0"]),
-                               np.asarray(out.gaussians.scales[0, :, 0]),
+                               np.asarray(gaussians.scales[0, :, 0]),
                                rtol=1e-4, atol=1e-7)
 
 

@@ -43,10 +43,14 @@ def sh_mask(sh_degree: int) -> jnp.ndarray:
 
 
 def build_covariance(scale: jnp.ndarray, rotation_xyzw: jnp.ndarray) -> jnp.ndarray:
-    """R diag(s)² Rᵀ (`common/gaussians.py:build_covariance`, quat eps 1e-8)."""
-    r = quat_to_mat(rotation_xyzw, eps=1e-8)
-    rs = r * scale[..., None, :]  # R @ diag(s)
-    return jnp.einsum("...ij,...kj->...ik", rs, rs, precision="highest")
+    """R diag(s)² Rᵀ (`common/gaussians.py:build_covariance`, quat eps 1e-8).
+
+    Computed via the packed per-entry form and reshaped at the end: the
+    direct (…, 3, 3) einsum chain materializes T(4,128)-padded temps
+    (56.9× = multi-GB at deployed Gaussian counts, see
+    `covariance_entries`)."""
+    return covariance_entries(scale, rotation_xyzw).reshape(
+        *scale.shape[:-1], 3, 3)
 
 
 def covariance_entries(scale: jnp.ndarray,

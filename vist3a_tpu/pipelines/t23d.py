@@ -131,6 +131,15 @@ def resize_trilinear_half_pixel(video, size_hw: tuple[int, int]):
     return jax.image.resize(video, (b, c, t, *size_hw), method="linear")
 
 
+@functools.lru_cache(maxsize=8)
+def _decode_jit(cfg: T23DConfig, return_video: bool):
+    """Jitted decode+reconstruct, cached per config — the eager form
+    materializes every intermediate (no fusion), which both OOMs a 16 GB
+    chip next to the resident DiT and runs dispatch-bound."""
+    return jax.jit(functools.partial(decode_and_reconstruct, cfg=cfg,
+                                     return_video=return_video))
+
+
 def decode_and_reconstruct(params, latents_norm, cfg: T23DConfig, *,
                            return_video: bool = True):
     """params: {"vae", "stitch_conv", "encoder"}.  latents_norm: pipeline
@@ -150,8 +159,26 @@ def decode_and_reconstruct(params, latents_norm, cfg: T23DConfig, *,
     return out, (video if return_video else None)
 
 
-def export_artifacts(encoder_out, save_path: str, image_shape=(448, 448),
-                     *, orbit_t: int = 10):
+@functools.lru_cache(maxsize=8)
+def _decode_export_jit(cfg: T23DConfig):
+    """Decode to exactly what export needs: (gaussians, extrinsic_c2w,
+    intrinsic_norm).  The full EncoderOutput adds ~1 GB of outputs the
+    export never reads (the anchor_feats relayout above all), which is the
+    margin between fitting and OOM next to the resident 1.3B DiT on a
+    16 GB chip — unused outputs and their producing ops are DCE'd here."""
+
+    @jax.jit
+    def run(params, latents_norm):
+        out, _ = decode_and_reconstruct(params, latents_norm, cfg,
+                                        return_video=False)
+        return out.gaussians, out.extrinsic_c2w, out.intrinsic_norm
+
+    return run
+
+
+def export_artifacts(gaussians, extrinsic_c2w, intrinsic_norm,
+                     save_path: str, image_shape=(448, 448),
+                     *, orbit_t: int = 10, pair_budget: int | None = None):
     """Orbit video (gs.mp4 + depth.mp4) and gaussians.ply, like
     `inference_t23d.py:140-166`."""
     import os
@@ -161,11 +188,10 @@ def export_artifacts(encoder_out, save_path: str, image_shape=(448, 448),
     from vist3a_tpu.io.ply_export import export_ply
     from vist3a_tpu.io.video_export import save_interpolated_video
 
-    g = encoder_out.gaussians
+    g = gaussians
     paths = save_interpolated_video(
-        np.asarray(encoder_out.extrinsic_c2w),
-        np.asarray(encoder_out.intrinsic_norm), g, image_shape, save_path,
-        t=orbit_t)
+        np.asarray(extrinsic_c2w), np.asarray(intrinsic_norm), g,
+        image_shape, save_path, t=orbit_t, pair_budget=pair_budget)
     ply_path = export_ply(
         g.means[0], g.scales[0], g.rotations[0], g.harmonics[0],
         g.opacities[0], os.path.join(save_path, "gaussians.ply"),
@@ -177,11 +203,15 @@ def text_to_3dgs(params: dict, tokenize: Callable, prompt: str,
                  save_path: str, cfg: T23DConfig = T23DConfig(),
                  key: jax.Array | None = None, *, orbit_t: int = 10):
     """Full pipeline.  params: {"umt5", "dit", "vae", "stitch_conv",
-    "encoder"}.  Returns (EncoderOutput, artifact paths)."""
+    "encoder"}.  Returns ((gaussians, extrinsic_c2w, intrinsic_norm),
+    artifact paths) — the slim export bundle; use
+    `decode_and_reconstruct` for the full EncoderOutput (its extra ~1 GB
+    of outputs does not fit next to the resident DiT on a 16 GB chip)."""
     cond, uncond = embed_prompts(params["umt5"], tokenize, prompt, cfg)
     latents_norm = denoise(params["dit"], cond, uncond, cfg, key)
-    out, _ = decode_and_reconstruct(params, latents_norm, cfg)
-    paths = export_artifacts(out, save_path,
+    dec_params = {k: params[k] for k in ("vae", "stitch_conv", "encoder")}
+    gaussians, extr, intr = _decode_export_jit(cfg)(dec_params, latents_norm)
+    paths = export_artifacts(gaussians, extr, intr, save_path,
                              (cfg.feedforward_size, cfg.feedforward_size),
                              orbit_t=orbit_t)
-    return out, paths
+    return (gaussians, extr, intr), paths
