@@ -66,6 +66,51 @@ def test_rollout_grad_only_through_chosen_steps():
     assert np.isfinite(gn_some) and gn_some > 0
 
 
+def test_bucket_rollout_steps():
+    assert vdm.bucket_rollout_steps(13, 10, 50) == 20
+    assert vdm.bucket_rollout_steps(10, 10, 50) == 10
+    assert vdm.bucket_rollout_steps(41, 10, 50) == 50
+    assert vdm.bucket_rollout_steps(50, 10, 50) == 50
+    assert vdm.bucket_rollout_steps(7, 0, 50) == 7          # disabled
+    # the deployed draw range collapses to exactly 5 compiled variants
+    lens = {vdm.bucket_rollout_steps(n, 10, 50) for n in range(10, 51)}
+    assert lens == {10, 20, 30, 40, 50}
+
+
+def test_rollout_mask_matches_index_form():
+    """A runtime 0/1 mask must reproduce the static index-list truncation
+    exactly (same value AND same gradient) — it is what keeps the chosen
+    backprop steps out of the jit cache key."""
+    dit = wan_dit.init(jax.random.key(0), DIT)
+    cfg = vdm.VDMTrainConfig(enable_rl=True)
+    state = vdm.init_train_state(jax.random.key(1), dit, cfg)
+    cond = jax.random.normal(jax.random.key(2), (1, 5, DIT.text_dim))
+    uncond = jnp.zeros_like(cond)
+    lat0 = jax.random.normal(jax.random.key(3), (1, 16, 2, 8, 8))
+    merged = vdm.merged_dit(dit, state.lora, cfg)
+
+    def out_idx(lora):
+        m = vdm.merged_dit(dit, lora, cfg)
+        return jnp.sum(vdm.rollout(m, lat0, cond, uncond, DIT, num_steps=4,
+                                   guidance_scale=5.0,
+                                   backprop_steps=[0, 2]) ** 2)
+
+    mask = jnp.asarray([1.0, 0.0, 1.0, 1.0])   # {0,2} + forced last
+
+    def out_mask(lora):
+        m = vdm.merged_dit(dit, lora, cfg)
+        return jnp.sum(vdm.rollout(m, lat0, cond, uncond, DIT, num_steps=4,
+                                   guidance_scale=5.0,
+                                   backprop_mask=mask) ** 2)
+
+    va, ga = jax.value_and_grad(out_idx)(state.lora)
+    vb, gb = jax.value_and_grad(out_mask)(state.lora)
+    np.testing.assert_allclose(float(va), float(vb), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-7)
+
+
 def test_augment_camera_prompt():
     rng = np.random.default_rng(0)
     outs = {vdm.augment_camera_prompt(np.random.default_rng(i), "a cat")
@@ -92,8 +137,8 @@ def test_full_vdm_step(tmp_path):
     text_feat = jax.random.normal(jax.random.key(6), (1, 16))
     text_feat = text_feat / jnp.linalg.norm(text_feat)
     rcfg = reward_mod.RewardConfig(pick_cfg=CLIP_TINY, pe_cfg=CLIP_TINY)
-    loss_fn = reward_mod.make_loss_fn(pick, pe, pick_text=text_feat,
-                                      pe_text=text_feat, logit_scale=100.0,
+    # no bound text: per-prompt features ride as runtime args (the CLI path)
+    loss_fn = reward_mod.make_loss_fn(pick, pe, logit_scale=100.0,
                                       cfg=rcfg)
 
     cfg = vdm.VDMTrainConfig(enable_rl=True, rollout_steps_low=3,
@@ -106,13 +151,14 @@ def test_full_vdm_step(tmp_path):
     sft_text = jax.random.normal(jax.random.key(9), (1, 5, DIT.text_dim))
 
     lora_before = jax.tree.map(lambda x: np.asarray(x), state.lora)
+    misses0 = vdm._vdm_step_jit.cache_info().misses
     state2, metrics = vdm.vdm_train_step(
         state, dit, vae, stitched,
         video=video, sft_text=sft_text, rl_cond=sft_text[:, :5],
         rl_uncond=jnp.zeros_like(sft_text[:, :5]),
         reward_loss_fn=loss_fn, key=jax.random.key(10), dit_cfg=DIT,
         vae_cfg=VAE, scfg=scfg, cfg=cfg, latent_shape=(1, 16, 2, 8, 8),
-        render_size=56)
+        render_size=56, reward_text=(text_feat, text_feat))
 
     assert int(state2.step) == 1
     assert np.isfinite(float(metrics["total_loss"]))
@@ -126,3 +172,18 @@ def test_full_vdm_step(tmp_path):
     # EMA moved toward the new lora
     assert any(float(jnp.sum(jnp.abs(e))) > 0
                for e in jax.tree.leaves(state2.ema))
+
+    # step 2: different prompt features + different backprop draw must hit
+    # the SAME compiled variant (mask + text are runtime args)
+    text2 = jax.random.normal(jax.random.key(11), (1, 16))
+    text2 = text2 / jnp.linalg.norm(text2)
+    state3, m3 = vdm.vdm_train_step(
+        state2, dit, vae, stitched,
+        video=video, sft_text=sft_text, rl_cond=sft_text[:, :5],
+        rl_uncond=jnp.zeros_like(sft_text[:, :5]),
+        reward_loss_fn=loss_fn, key=jax.random.key(10), dit_cfg=DIT,
+        vae_cfg=VAE, scfg=scfg, cfg=cfg, latent_shape=(1, 16, 2, 8, 8),
+        render_size=56, reward_text=(text2, text2))
+    assert int(state3.step) == 2
+    assert np.isfinite(float(m3["total_loss"]))
+    assert vdm._vdm_step_jit.cache_info().misses == misses0 + 1

@@ -27,12 +27,16 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
         cfg: vdm.VDMTrainConfig, num_steps: int, save_path=None,
         save_freq: int = 100, key=jax.random.key(23),
         latent_shape=(1, 16, 4, 64, 64), render_size: int = 448,
-        on_metrics=None, uncond_embeds=None):
+        on_metrics=None, uncond_embeds=None, reward_text_fn=None):
     """The VDM loop.  embed_text(list[str]) → (B, L, text_dim) embeddings;
     text_loader yields {"prompt": [str]}; video_loader yields
-    {"image_tensor": (B,3,T,H,W), "caption": [str]}."""
+    {"image_tensor": (B,3,T,H,W), "caption": [str]}.
+    reward_text_fn(prompt) → (pick_text, pe_text) per-prompt scorer text
+    features (the reference computes them in-loop via the frozen scorer
+    text towers, `utils/reward.py:152-174`); they ride as runtime args so
+    the step never re-traces on a prompt change."""
     rng = np.random.default_rng(int(jax.random.randint(
-        key, (), 0, 2 ** 31)))
+        key, (), 0, 2 ** 31 - 1)))
     history = []
     video_iter = iter(video_loader)
     step = int(state.step)
@@ -53,6 +57,8 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
             rl_cond = embed_text([rl_prompt])
             rl_uncond = (uncond_embeds if uncond_embeds is not None
                          else jnp.zeros_like(rl_cond))
+            reward_text = (reward_text_fn(prompt)
+                           if cfg.enable_rl and reward_text_fn else None)
 
             state, metrics = vdm.vdm_train_step(
                 state, dit_params, vae_params, stitched_params,
@@ -60,7 +66,8 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
                 sft_text=sft_text, rl_cond=rl_cond, rl_uncond=rl_uncond,
                 reward_loss_fn=reward_loss_fn, key=key, dit_cfg=dit_cfg,
                 vae_cfg=vae_cfg, scfg=scfg, cfg=cfg,
-                latent_shape=latent_shape, render_size=render_size)
+                latent_shape=latent_shape, render_size=render_size,
+                reward_text=reward_text)
             step = int(state.step)
             m = {k: float(v) for k, v in metrics.items()}
             history.append({"step": step, "prompt": prompt, **m})
@@ -79,6 +86,72 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
     return state, history
 
 
+def build_reward_fns(root, *, pick_dir="pickscore", pe_dir="dfn5b",
+                     rcfg=None, text_cfg=None):
+    """In-framework reward scorers (`utils/reward.py:117-193` +
+    `train_vdm.py:566-637`): PickScore (HF CLIP-H) and DFN5B (open_clip
+    ViT-H-378) VISION towers carry the reward gradient; their TEXT towers
+    produce the per-prompt features, frozen, via one small cached jit.
+
+    Returns (reward_loss_fn, reward_text_fn) where
+    reward_text_fn(prompt) → (pick_text, pe_text)."""
+    import functools
+
+    from vist3a_tpu.data.clip_tokenizer import CLIPTokenizer
+    from vist3a_tpu.io import load_weights
+    from vist3a_tpu.nn import clip as clip_mod
+    from vist3a_tpu.train import reward as reward_mod
+
+    root = Path(root)
+    pick_sd = load_weights.load_sharded_safetensors(root / pick_dir)
+    pe_sd = load_weights.load_sharded_safetensors(root / pe_dir)
+    rcfg = rcfg or reward_mod.RewardConfig()
+    pick = clip_mod.import_hf_clip_vision(pick_sd,
+                                          rcfg.pick_cfg.num_layers)
+    pe = clip_mod.import_open_clip_vision(pe_sd, rcfg.pe_cfg.num_layers)
+    tcfg = text_cfg or clip_mod.CLIP_H_TEXT
+    pick_text = clip_mod.import_hf_clip_text(pick_sd, tcfg.num_layers)
+    pe_text = clip_mod.import_open_clip_text(pe_sd, tcfg.num_layers)
+    # `pick_model.logit_scale.exp()` (`utils/reward.py:159-161`)
+    logit_scale = float(np.exp(np.asarray(pick_sd["logit_scale"])))
+    tokenizer = _clip_tokenizer_from_dir(root / pick_dir, CLIPTokenizer)
+
+    loss_fn = reward_mod.make_loss_fn(pick, pe, logit_scale=logit_scale,
+                                      cfg=rcfg)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def _text_feats(pick_ids, pe_ids):
+        return (clip_mod.text_features(pick_text, pick_ids, tcfg),
+                clip_mod.text_features(pe_text, pe_ids, tcfg))
+
+    @functools.lru_cache(maxsize=256)
+    def reward_text_fn(prompt: str):
+        # HF CLIP pads with EOT ('eos'); open_clip zero-pads — argmax-EOS
+        # pooling is correct under both (see data/clip_tokenizer.py)
+        pick_ids = jnp.asarray(
+            tokenizer([prompt], tcfg.context_length, pad="eos"))
+        pe_ids = jnp.asarray(
+            tokenizer([prompt], tcfg.context_length, pad="zero"))
+        return _text_feats(pick_ids, pe_ids)
+
+    return loss_fn, reward_text_fn
+
+
+def _clip_tokenizer_from_dir(model_dir, CLIPTokenizer):
+    """vocab.json+merges.txt (HF layout) or the openai
+    bpe_simple_vocab_16e6.txt(.gz) merges file (open_clip layout)."""
+    model_dir = Path(model_dir)
+    vocab, merges = model_dir / "vocab.json", model_dir / "merges.txt"
+    if vocab.exists() and merges.exists():
+        return CLIPTokenizer.from_files(str(vocab), str(merges))
+    for name in ("bpe_simple_vocab_16e6.txt.gz", "bpe_simple_vocab_16e6.txt"):
+        if (model_dir / name).exists():
+            return CLIPTokenizer.from_openai_merges(str(model_dir / name))
+    raise FileNotFoundError(
+        f"no CLIP tokenizer files (vocab.json+merges.txt or openai bpe "
+        f"merges) under {model_dir}")
+
+
 def main(args):
     from transformers import AutoTokenizer
 
@@ -86,7 +159,6 @@ def main(args):
                                               weights_root)
     from vist3a_tpu.data.loader import create_vdm_tuning_dataloader
     from vist3a_tpu.io import load_weights, weight_import
-    from vist3a_tpu.nn import clip as clip_mod
     from vist3a_tpu.nn import umt5 as umt5_mod
     from vist3a_tpu.nn import wan_dit
     from vist3a_tpu.nn.wan_vae import WanVAEConfig
@@ -110,25 +182,9 @@ def main(args):
         return umt5_mod.encode(umt5, jnp.asarray(enc["input_ids"]),
                                jnp.asarray(enc["attention_mask"]))
 
-    reward_loss_fn = None
+    reward_loss_fn, reward_text_fn = None, None
     if args.enable_rl:
-        pick = clip_mod.import_hf_clip_vision(
-            load_weights.load_sharded_safetensors(root / "pickscore"),
-            clip_mod.CLIP_H_224.num_layers)
-        pe = clip_mod.import_open_clip_vision(
-            load_weights.load_sharded_safetensors(root / "dfn5b"),
-            clip_mod.DFN5B_H_378.num_layers)
-        # frozen text features of a generic prompt set would be recomputed
-        # per step on host in the reference; here precompute per prompt via
-        # the scorers' text towers offline and pass through — see
-        # train/reward.make_loss_fn.  For parity with the training loop the
-        # image features carry the gradient; text features come from the
-        # PickScore text tower run on host (out of scope of the hot path).
-        raise SystemExit(
-            "RL branch needs scorer TEXT features per prompt; precompute "
-            "them (PickScore/DFN5B text towers, host) into "
-            f"{root}/scorer_text.npz and re-run — see docs in "
-            "vist3a_tpu/train/reward.py")
+        reward_loss_fn, reward_text_fn = build_reward_fns(root)
 
     datasets = [(n, str(p)) for n, p in args.dataset]
     if args.text_dataset_path:
@@ -142,7 +198,8 @@ def main(args):
     state = vdm.init_train_state(jax.random.key(args.global_seed), dit, cfg)
     run(state, dit, stitched["vae"], stitched, text_loader=text_loader,
         video_loader=video_loader, embed_text=embed_text,
-        reward_loss_fn=reward_loss_fn, dit_cfg=wan_dit.WAN_1_3B,
+        reward_loss_fn=reward_loss_fn, reward_text_fn=reward_text_fn,
+        dit_cfg=wan_dit.WAN_1_3B,
         vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
         num_steps=args.num_epochs * len(video_loader),
         save_path=args.save_path, save_freq=args.save_freq,

@@ -66,14 +66,21 @@ class RewardConfig:
     pe_cfg: clip_mod.CLIPVisionConfig = clip_mod.DFN5B_H_378
 
 
-def make_loss_fn(pick_params, pe_params, *, pick_text, pe_text,
+def make_loss_fn(pick_params, pe_params, *, pick_text=None, pe_text=None,
                  logit_scale: float, cfg: RewardConfig = RewardConfig()
                  ) -> Callable:
     """pick_text / pe_text: L2-normalized text features (B_txt, D) computed
-    off-path (no grad, `utils/reward.py:152-158,171-174`).  Returns
-    loss_fn(im_pm1) → (loss, mixed_score, scores)."""
+    off-path (no grad, `utils/reward.py:152-158,171-174`).  They may be
+    bound here (fixed prompt) or passed per call — the per-call form keeps
+    the jitted train step's cache key independent of the prompt (the
+    reference recomputes text features in-loop, `utils/reward.py:152-174`).
+    Returns loss_fn(im_pm1, pick_text=None, pe_text=None)
+    → (loss, mixed_score, scores)."""
+    bound_pick, bound_pe = pick_text, pe_text
 
-    def loss_fn(im_pm1):
+    def loss_fn(im_pm1, pick_text=None, pe_text=None):
+        pick_text = bound_pick if pick_text is None else pick_text
+        pe_text = bound_pe if pe_text is None else pe_text
         b = im_pm1.shape[0]
         pick_im = pickscore_preprocess(im_pm1, cfg.pick_cfg.image_size)
         pick_img = clip_mod.image_features(pick_params, pick_im,
@@ -106,12 +113,17 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
                      video: jnp.ndarray, stitched_params: dict,
                      scfg: ca.StitchedConfig, loss_fn: Callable, *,
                      num_render_views: int = 13, render_size: int = 448,
-                     pair_budget: int | None = None):
+                     pair_budget: int | None = None,
+                     text_feats=None):
     """`utils/reward.py:198-256` for batch size 1 (the reference's loop body).
 
     gen_latents: (1,16,T,h,w) un-normalized; video: (1,3,T_pix,H,W) decoded
-    frames in [−1,1].  Returns (reward_loss, (decoded_frame, rendered_views))
+    frames in [−1,1].  text_feats: optional (pick_text, pe_text) runtime
+    features forwarded to loss_fn (per-prompt, traced — see make_loss_fn).
+    Returns (reward_loss, (decoded_frame, rendered_views))
     — images in [0,1] (B,H,W,3) for logging."""
+    tkw = ({} if text_feats is None
+           else {"pick_text": text_feats[0], "pe_text": text_feats[1]})
     k_views, k_frame = jax.random.split(key)
     t_pix = video.shape[2]
     feedforward = ca.resize_align_corners_nd(
@@ -127,11 +139,11 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
                       (render_size, render_size),
                       pair_budget=pair_budget).color[0]     # (V,3,H,W) [0,1]
     rendered_pm1 = rendered * 2.0 - 1.0
-    loss_r, _, _ = loss_fn(rendered_pm1)
+    loss_r, _, _ = loss_fn(rendered_pm1, **tkw)
 
     gt_idx = jax.random.randint(k_frame, (1,), 0, t_pix)
     decoded = jnp.swapaxes(feedforward[:, :, gt_idx[0]], 0, 0)  # (1,3,H,W)
-    loss_d, _, _ = loss_fn(decoded)
+    loss_d, _, _ = loss_fn(decoded, **tkw)
 
     imgs = (jnp.transpose((decoded + 1) / 2, (0, 2, 3, 1)),
             jnp.transpose(rendered, (0, 2, 3, 1)))

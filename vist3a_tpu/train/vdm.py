@@ -56,6 +56,12 @@ class VDMTrainConfig:
     enable_rl: bool = True
     rollout_steps_low: int = 10
     rollout_steps_high: int = 50
+    # bucket the drawn rollout length up to a multiple of this, bounding the
+    # jit-variant count at high/bucket (the reference draws uniformly from
+    # [10,50] per step, `train_vdm.py:117-137` — through the remote-compile
+    # tunnel each fresh length costs 3-10 min, so ~40 variants is hours of
+    # warmup; 0 disables bucketing)
+    rollout_step_bucket: int = 10
     flow_shift: float = 3.0              # `train_vdm.py:337-343`
 
     @property
@@ -107,6 +113,16 @@ def choose_and_sync_two_indices(key, step: int, n: int):
     return [int(i) for i in jax.random.permutation(k, n)[:2]]
 
 
+def bucket_rollout_steps(n: int, bucket: int, high: int) -> int:
+    """Round the drawn rollout length UP to a multiple of `bucket` (capped
+    at `high`), bounding the set of compiled step variants to high/bucket.
+    Rounding up keeps any backprop index drawn against the raw length valid.
+    """
+    if not bucket:
+        return n
+    return min(-(-n // bucket) * bucket, high)
+
+
 def choose_guidance_scale(key, step: int) -> float:
     """U(4, 6) (`train_vdm.py:580`)."""
     k = jax.random.fold_in(jax.random.fold_in(key, step), 3)
@@ -117,17 +133,23 @@ def choose_guidance_scale(key, step: int) -> float:
 # truncated-rollout generation                                                #
 # --------------------------------------------------------------------------- #
 def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
-            *, num_steps: int, guidance_scale: float, backprop_steps,
-            flow_shift: float = 3.0):
+            *, num_steps: int, guidance_scale: float, backprop_steps=None,
+            backprop_mask=None, flow_shift: float = 3.0):
     """UniPC CFG rollout with gradient truncation (`train_vdm.py:586-623`):
     the DiT input is stop-gradiented EVERY step; model outputs of steps not
     in `backprop_steps` (+ the forced last step) are stop-gradiented too.
+    `backprop_mask` — a (num_steps,) 0/1 array — may be passed instead of
+    the index list; as a TRACED value it keeps the chosen-step draw out of
+    the jit cache key (the scan trace is identical for any mask values).
     Returns normalized (pipeline-space) final latents, differentiable wrt
     LoRA through the chosen steps' outputs and the scheduler's affine chain.
     """
-    chosen = set(int(i) for i in backprop_steps) | {num_steps - 1}
-    mask = jnp.asarray([1.0 if i in chosen else 0.0
-                        for i in range(num_steps)], jnp.float32)
+    if backprop_mask is not None:
+        mask = jnp.asarray(backprop_mask, jnp.float32)
+    else:
+        chosen = set(int(i) for i in backprop_steps) | {num_steps - 1}
+        mask = jnp.asarray([1.0 if i in chosen else 0.0
+                            for i in range(num_steps)], jnp.float32)
 
     # compute in the params' dtype (bf16 deployed, matching the reference's
     # FSDP2 bf16 mixed-precision policy, `train_vdm.py:296-304`); the
@@ -157,21 +179,22 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
 # --------------------------------------------------------------------------- #
 @functools.lru_cache(maxsize=64)
 def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
-                  reward_loss_fn, num_steps: int, backprop_steps: tuple,
+                  reward_loss_fn, num_steps: int,
                   latent_shape: tuple, render_size: int, pair_budget):
     """The jitted per-step program, cached by the static rollout config.
 
     Everything heavy runs in ONE compiled program (eager execution through
     the remote-dispatch tunnel made the step dispatch-bound: the SFT-only
     step measured 13.3 s eager vs the jitted program's device time).
-    A distinct rollout length compiles its own variant — the reference
-    draws num_steps uniformly from [10, 50] per step, so a long RL run
-    warms up to that many cached variants; the every-10th-step=50 rule
-    means the common case is hit early.  reward_loss_fn's scorer params
+    Only the (bucketed) rollout LENGTH keys a fresh variant: the chosen
+    backprop steps ride as a runtime 0/1 mask and the per-prompt scorer
+    text features as runtime arrays, so an RL run compiles at most
+    high/bucket (=5 deployed) programs.  reward_loss_fn's scorer params
     ride as jit constants (frozen CLIP towers)."""
 
     def run(state, dit_params, vae_params, stitched_params, video, sft_text,
-            rl_cond, rl_uncond, guidance, k_vae, k_flow, k_noise, k_reward):
+            rl_cond, rl_uncond, bp_mask, reward_text, guidance,
+            k_vae, k_flow, k_noise, k_reward):
         from vist3a_tpu.train.reward import calculate_reward
 
         # frozen VAE encode of the SFT clip (posterior sample, normalized)
@@ -193,14 +216,15 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
             if cfg.enable_rl and reward_loss_fn is not None:
                 lat = rollout(merged, latents0, rl_cond, rl_uncond, dit_cfg,
                               num_steps=num_steps, guidance_scale=guidance,
-                              backprop_steps=backprop_steps,
+                              backprop_mask=bp_mask,
                               flow_shift=cfg.flow_shift)
                 lat_un = wan_vae.unnormalize_latents(lat)
                 decoded = wan_vae.decode(vae_params, lat_un, vae_cfg, remat=True)
                 reward_loss, _ = calculate_reward(
                     k_reward, lat_un, decoded, stitched_params, scfg,
                     reward_loss_fn, render_size=render_size,
-                    pair_budget=pair_budget)
+                    pair_budget=pair_budget,
+                    text_feats=reward_text if reward_text else None)
             total = diffusion_loss + reward_loss
             return total, {"diffusion_loss": diffusion_loss,
                            "reward_loss": reward_loss, "total_loss": total}
@@ -240,7 +264,8 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
                    vae_cfg, scfg, cfg: VDMTrainConfig,
                    latent_shape=(1, 16, 4, 64, 64),
                    render_size: int = 448,
-                   pair_budget: int | None = None):
+                   pair_budget: int | None = None,
+                   reward_text=None):
     """One VDM step: host-side synced randomness picks the rollout config,
     then ONE cached jitted program does everything (VAE encode, SFT loss,
     truncated-rollout reward, update, EMA).
@@ -248,6 +273,8 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
     video: (B,3,T,H,W) in [−1,1]; sft_text: (B,L,4096); rl_cond/rl_uncond:
     (1,L,4096) rollout prompts.  reward_loss_fn: from
     `vist3a_tpu.train.reward.make_loss_fn` (None → SFT only).
+    reward_text: optional (pick_text, pe_text) per-prompt scorer features —
+    runtime arrays, so prompt changes never re-trace.
     Returns (state, metrics)."""
     step = int(state.step)
     k_root = jax.random.fold_in(key, step)
@@ -257,19 +284,24 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
     if rl:
         num_steps = choose_and_sync_steps(key, step, cfg.rollout_steps_low,
                                           cfg.rollout_steps_high)
-        backprop_steps = tuple(choose_and_sync_two_indices(key, step,
-                                                           num_steps))
+        backprop_steps = choose_and_sync_two_indices(key, step, num_steps)
+        num_steps = bucket_rollout_steps(num_steps, cfg.rollout_step_bucket,
+                                         cfg.rollout_steps_high)
+        mask = np.zeros((num_steps,), np.float32)
+        mask[list(backprop_steps) + [num_steps - 1]] = 1.0
+        bp_mask = jnp.asarray(mask)
     else:
         # rollout statics are unused without RL — pin them so the per-step
         # random draw doesn't key a fresh trace/compile of the program
-        num_steps, backprop_steps = 0, ()
+        num_steps, bp_mask = 0, jnp.zeros((0,), jnp.float32)
     guidance = choose_guidance_scale(key, step)
 
     fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg, reward_loss_fn,
-                       num_steps, backprop_steps, tuple(latent_shape),
+                       num_steps, tuple(latent_shape),
                        render_size, pair_budget)
     return fn(state, dit_params, vae_params, stitched_params, video,
-              sft_text, rl_cond, rl_uncond, guidance,
+              sft_text, rl_cond, rl_uncond, bp_mask,
+              () if reward_text is None else tuple(reward_text), guidance,
               k_vae, k_flow, k_noise, k_reward)
 
 
