@@ -153,6 +153,26 @@ def add_stitching_args(parser):
     return parser
 
 
+def add_mesh_args(parser, *, dit: bool = False,
+                  default_dit_sharding: str = "fsdp"):
+    """Device-mesh layout.  The reference launches multi-device by
+    construction (torchrun DDP `model_stitching_training.py:286-289`,
+    accelerate FSDP2 `train_vdm.py:296-310`); here one 2-D `(data, model)`
+    mesh over all visible devices plays both roles.  `dit=True` adds the DiT
+    placement choice (VDM training only)."""
+    g = parser.add_argument_group("Mesh / parallelism")
+    g.add_argument("--mesh_data", type=int, default=-1,
+                   help="Devices on the data axis (-1: all / mesh_model)")
+    g.add_argument("--mesh_model", type=int, default=1,
+                   help="Devices on the model (tensor-parallel) axis")
+    if dit:
+        g.add_argument("--dit_sharding", type=str,
+                       default=default_dit_sharding,
+                       choices=["fsdp", "tp", "replicated"],
+                       help="DiT parameter placement over the mesh")
+    return parser
+
+
 # --------------------------------------------------------------------------- #
 # parser builders                                                             #
 # --------------------------------------------------------------------------- #
@@ -164,6 +184,7 @@ def stitching_training_argument() -> argparse.ArgumentParser:
     add_optimizer_args(parser, include_warmup=True)
     add_training_data_args(parser)
     add_stitching_args(parser)
+    add_mesh_args(parser)
     return parser
 
 
@@ -218,6 +239,7 @@ def training_vdm_argument() -> argparse.ArgumentParser:
                    help="Checkpoint save frequency (steps)")
     g.add_argument("--enable_rl", action=argparse.BooleanOptionalAction,
                    default=False, help="Enable rl")
+    add_mesh_args(parser, dit=True)
     parser.set_defaults(num_frames_per_unit_scene=32)
     return parser
 

@@ -20,7 +20,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import contextlib
+
 from vist3a_tpu.cli.arguments import stitching_training_argument
+from vist3a_tpu.core import mesh as mesh_mod
 from vist3a_tpu.data.loader import create_stitching_dataloader
 from vist3a_tpu.io import checkpoints as ckpt
 from vist3a_tpu.nn import wan_vae
@@ -39,10 +42,14 @@ def encode_context(vae_params, vae_images_pm1, vae_cfg, key):
 def run(params: dict, scfg: ca.StitchedConfig, loader, sampler, *,
         train_cfg: st.StitchTrainConfig, num_epochs: int, save_path=None,
         resume_path=None, key=jax.random.key(23), log_every: int = 10,
-        on_metrics=None):
+        on_metrics=None, mesh=None):
     """The training loop.  params: {"encoder", "stitch_conv", "vae"} (the
     teacher shares the frozen encoder weights at init, like the reference
-    chopping the same pretrained AnySplat)."""
+    chopping the same pretrained AnySplat).
+
+    With `mesh` the loop runs data-parallel (DDP parity,
+    `model_stitching_training.py:286-289`): batches sharded over "data",
+    params/opt-state replicated, grad all-reduce inserted by GSPMD."""
     state, frozen = st.init_train_state(key, {
         "encoder": params["encoder"], "stitch_conv": params["stitch_conv"]},
         train_cfg)
@@ -52,6 +59,13 @@ def run(params: dict, scfg: ca.StitchedConfig, loader, sampler, *,
                                                             state)
 
     teacher = params["encoder"]
+    vae = params["vae"]
+    if mesh is not None:
+        state = mesh_mod.replicate(mesh, state)
+        teacher = mesh_mod.replicate(mesh, teacher)
+        vae = mesh_mod.replicate(mesh, vae)
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+
     history = []
     for epoch in range(epoch_start, num_epochs):
         sampler.set_epoch(epoch)
@@ -62,14 +76,19 @@ def run(params: dict, scfg: ca.StitchedConfig, loader, sampler, *,
                 batch["vae_image_tensor"][:, :, :n_views])
             ff_images = jnp.asarray(
                 batch["feedforward_image_tensor"][:, :, :n_views])
-            latent = encode_context(params["vae"], vae_images, scfg.vae,
-                                    jax.random.fold_in(key, 2 * gstep + 1))
-            teacher01 = jnp.swapaxes((ff_images + 1.0) * 0.5, 1, 2)
+            if mesh is not None:
+                vae_images, ff_images = mesh_mod.shard_batch(
+                    mesh, (vae_images, ff_images))
+            with mesh_ctx:
+                latent = encode_context(
+                    vae, vae_images, scfg.vae,
+                    jax.random.fold_in(key, 2 * gstep + 1))
+                teacher01 = jnp.swapaxes((ff_images + 1.0) * 0.5, 1, 2)
 
-            state, metrics = st.stitch_train_step(
-                state, teacher, latent, ff_images, teacher01,
-                scfg, scfg.encoder, lora_spec=train_cfg.lora_spec,
-                train_cfg=train_cfg)
+                state, metrics = st.stitch_train_step(
+                    state, teacher, latent, ff_images, teacher01,
+                    scfg, scfg.encoder, lora_spec=train_cfg.lora_spec,
+                    train_cfg=train_cfg)
             if gstep % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 history.append({"epoch": epoch, "step": gstep, **m})
@@ -102,8 +121,15 @@ def main(args):
         stitch_layer_index=int(
             args.stitching_layer_location.rsplit("_", 1)[-1]),
         conv_spec=conv_spec_to_string(args.stitching_layer_config))
+
+    # the mesh plays the reference's DDP world: the loader yields this
+    # process's share of the GLOBAL batch (per-device `--batch_size`,
+    # `model_stitching_training.py:286-289`), sharded over "data" in run()
+    mesh = mesh_mod.mesh_from_args(args)
+    args.batch_size = mesh_mod.local_batch_size(args.batch_size, mesh)
     loader, sampler = create_stitching_dataloader(
-        [(n, str(p)) for n, p in args.dataset], args, augmentation=True)
+        [(n, str(p)) for n, p in args.dataset], args, augmentation=True,
+        num_replicas=jax.process_count(), rank=jax.process_index())
     steps_per_epoch = len(loader)
     train_cfg = st.StitchTrainConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
@@ -115,7 +141,7 @@ def main(args):
         num_epochs=args.num_epochs, save_path=args.save_path,
         resume_path=args.resume_checkpoint_path,
         key=jax.random.key(args.global_seed),
-        on_metrics=lambda m: print(m))
+        on_metrics=lambda m: print(m), mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from vist3a_tpu.cli.arguments import training_vdm_argument, validate_vdm_args
+from vist3a_tpu.core import mesh as mesh_mod
 from vist3a_tpu.io import checkpoints as ckpt
 from vist3a_tpu.train import ema as ema_mod
 from vist3a_tpu.train import vdm
@@ -27,16 +28,28 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
         cfg: vdm.VDMTrainConfig, num_steps: int, save_path=None,
         save_freq: int = 100, key=jax.random.key(23),
         latent_shape=(1, 16, 4, 64, 64), render_size: int = 448,
-        on_metrics=None, uncond_embeds=None, reward_text_fn=None):
+        on_metrics=None, uncond_embeds=None, reward_text_fn=None,
+        mesh=None):
     """The VDM loop.  embed_text(list[str]) → (B, L, text_dim) embeddings;
     text_loader yields {"prompt": [str]}; video_loader yields
     {"image_tensor": (B,3,T,H,W), "caption": [str]}.
     reward_text_fn(prompt) → (pick_text, pe_text) per-prompt scorer text
     features (the reference computes them in-loop via the frozen scorer
     text towers, `utils/reward.py:152-174`); they ride as runtime args so
-    the step never re-traces on a prompt change."""
+    the step never re-traces on a prompt change.
+
+    With `mesh` the SFT batch is sharded over "data"; `dit_params` keep
+    whatever placement the caller gave them (fsdp/tp/replicated — the
+    step is sharding-agnostic, `train/vdm.py`)."""
+    import contextlib
+
     rng = np.random.default_rng(int(jax.random.randint(
         key, (), 0, 2 ** 31 - 1)))
+    if mesh is not None:
+        state = mesh_mod.replicate(mesh, state)
+        vae_params = mesh_mod.replicate(mesh, vae_params)
+        stitched_params = mesh_mod.replicate(mesh, stitched_params)
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     history = []
     video_iter = iter(video_loader)
     step = int(state.step)
@@ -60,14 +73,21 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
             reward_text = (reward_text_fn(prompt)
                            if cfg.enable_rl and reward_text_fn else None)
 
-            state, metrics = vdm.vdm_train_step(
-                state, dit_params, vae_params, stitched_params,
-                video=jnp.asarray(video_batch["image_tensor"]),
-                sft_text=sft_text, rl_cond=rl_cond, rl_uncond=rl_uncond,
-                reward_loss_fn=reward_loss_fn, key=key, dit_cfg=dit_cfg,
-                vae_cfg=vae_cfg, scfg=scfg, cfg=cfg,
-                latent_shape=latent_shape, render_size=render_size,
-                reward_text=reward_text)
+            video = jnp.asarray(video_batch["image_tensor"])
+            if mesh is not None:
+                video, sft_text = mesh_mod.shard_batch(
+                    mesh, (video, sft_text))
+                rl_cond, rl_uncond = mesh_mod.replicate(
+                    mesh, (rl_cond, rl_uncond))
+            with mesh_ctx:
+                state, metrics = vdm.vdm_train_step(
+                    state, dit_params, vae_params, stitched_params,
+                    video=video,
+                    sft_text=sft_text, rl_cond=rl_cond, rl_uncond=rl_uncond,
+                    reward_loss_fn=reward_loss_fn, key=key, dit_cfg=dit_cfg,
+                    vae_cfg=vae_cfg, scfg=scfg, cfg=cfg,
+                    latent_shape=latent_shape, render_size=render_size,
+                    reward_text=reward_text)
             step = int(state.step)
             m = {k: float(v) for k, v in metrics.items()}
             history.append({"step": step, "prompt": prompt, **m})
@@ -152,6 +172,27 @@ def _clip_tokenizer_from_dir(model_dir, CLIPTokenizer):
         f"merges) under {model_dir}")
 
 
+def place_dit(dit, dit_cfg, mesh, how: str):
+    """DiT parameter placement over the mesh: "fsdp" (ZeRO-3 analogue of
+    the reference's FSDP2 wrap, `train_vdm.py:296-310`), "tp"
+    (`wan_dit.param_shardings` over "model"), or "replicated"."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vist3a_tpu.nn import wan_dit
+
+    if how == "fsdp":
+        return mesh_mod.shard_params(
+            dit, mesh_mod.fsdp_shardings(dit, mesh))
+    if how == "tp":
+        specs = wan_dit.param_shardings(dit_cfg)
+        return jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+            dit, specs, is_leaf=lambda x: isinstance(x, type(P())))
+    if how == "replicated":
+        return mesh_mod.replicate(mesh, dit)
+    raise ValueError(f"unknown dit_sharding {how!r}")
+
+
 def main(args):
     from transformers import AutoTokenizer
 
@@ -186,11 +227,17 @@ def main(args):
     if args.enable_rl:
         reward_loss_fn, reward_text_fn = build_reward_fns(root)
 
+    # mesh: the reference's accelerate FSDP2 world (`train_vdm.py:296-310`)
+    mesh = mesh_mod.mesh_from_args(args)
+    args.batch_size = mesh_mod.local_batch_size(args.batch_size, mesh)
+    dit = place_dit(dit, wan_dit.WAN_1_3B, mesh, args.dit_sharding)
+
     datasets = [(n, str(p)) for n, p in args.dataset]
     if args.text_dataset_path:
         datasets.append(("text", args.text_dataset_path))
     text_loader, _, video_loader, _ = create_vdm_tuning_dataloader(
-        datasets, args)
+        datasets, args, num_replicas=jax.process_count(),
+        rank=jax.process_index())
 
     cfg = vdm.VDMTrainConfig(learning_rate=args.learning_rate,
                              weight_decay=args.weight_decay,
@@ -203,7 +250,7 @@ def main(args):
         vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
         num_steps=args.num_epochs * len(video_loader),
         save_path=args.save_path, save_freq=args.save_freq,
-        key=jax.random.key(args.global_seed))
+        key=jax.random.key(args.global_seed), mesh=mesh)
 
 
 if __name__ == "__main__":

@@ -62,6 +62,28 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_args(args) -> Mesh:
+    """Build the training mesh from `add_mesh_args` CLI flags
+    (`vist3a_tpu.cli.arguments`).  One mesh over ALL visible devices — the
+    TPU analogue of the reference's torchrun/accelerate world
+    (`utils/dist_util.py:25-43`)."""
+    return create_mesh(MeshConfig(data=getattr(args, "mesh_data", -1),
+                                  model=getattr(args, "mesh_model", 1)))
+
+
+def local_batch_size(per_device_batch: int, mesh: Mesh) -> int:
+    """THIS process's loader batch so that every device on the ``data``
+    axis sees `per_device_batch` samples — the reference's per-GPU
+    `--batch_size` semantics under DDP (`model_stitching_training.py:286`).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    n_proc = jax.process_count()
+    if n_data % n_proc:
+        raise ValueError(
+            f"data axis {n_data} not divisible by process count {n_proc}")
+    return per_device_batch * (n_data // n_proc)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a host batch on the mesh, sharded along ``data`` on axis 0."""
     sharding = NamedSharding(mesh, P(DATA_AXIS))
