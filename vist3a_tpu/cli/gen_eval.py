@@ -14,7 +14,10 @@ checkpoint directories (this framework never fetches weights):
     (the CLIP-L vision tower comes from `--clip_path`).
 
 Scorers whose checkpoint flag is omitted are skipped (the harness accepts
-any subset); MUSIQ remains an injectable callable (PARITY.md deviation 5).
+any subset).  MUSIQ runs in-framework (`eval/musiq.py`, multi-scale IQA
+transformer) from `--musiq_weights` (.npz in our layout — the published
+pyiqa SPAQ .pth is converted offline, see eval/musiq.py docstring); an
+injected callable still overrides it.
 """
 
 from __future__ import annotations
@@ -34,6 +37,8 @@ def t3_argument() -> argparse.ArgumentParser:
     p.add_argument("--clip_path", type=str, default=None)
     p.add_argument("--longclip_path", type=str, default=None)
     p.add_argument("--aesthetic_probe", type=str, default=None)
+    p.add_argument("--musiq_weights", type=str, default=None,
+                   help="MUSIQ-SPAQ weights (.npz, eval.musiq layout)")
     return p
 
 
@@ -118,6 +123,11 @@ def build_scorers(args) -> dict:
         if probe is not None:
             out["aesthetic"] = scorers.make_aesthetic_scorer(
                 clip_pack[0], probe["weight"], probe["bias"], clip_pack[1])
+    if getattr(args, "musiq_weights", None):
+        from vist3a_tpu.eval import musiq
+
+        out["musiq"] = musiq.make_musiq_scorer(
+            musiq.load_musiq_npz(args.musiq_weights))
     return out
 
 

