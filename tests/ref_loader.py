@@ -20,6 +20,9 @@ from pathlib import Path
 REF = Path("/root/reference")
 
 _PARENTS = {
+    # the reference's first-party `utils` package (lora_util etc.)
+    "utils": "utils",
+    "utils.lora_util": "utils/lora_util",
     "third_party_model": "third_party_model",
     "third_party_model.anysplat": "third_party_model/anysplat",
     "third_party_model.anysplat.src": "third_party_model/anysplat/src",

@@ -73,7 +73,8 @@ def load_stitched_model(args, *, eval_dtype_bf16: bool = True):
 
     if getattr(args, "checkpoint_path", None):
         sd = load_weights.load_torch_state_dict(args.checkpoint_path)
-        pieces = weight_import.import_stitched_checkpoint(sd)
+        pieces = weight_import.import_stitched_checkpoint(
+            sd, vit_chop=scfg.stitch_layer_index)
         lora_flat = pieces["lora"]
         lora_tree, bias_over = lora_mod.lora_from_flat(
             {k.removeprefix("encoder/"): v for k, v in lora_flat.items()},

@@ -16,6 +16,8 @@ convert tensors with ``.numpy()``).  No torch dependency here.
 
 from __future__ import annotations
 
+import re
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -350,10 +352,38 @@ def import_anysplat_encoder(sd, prefix: str = "encoder.") -> dict:
     return out
 
 
-def import_stitched_checkpoint(sd) -> dict:
+# torch module names inside the DPT/GS/camera heads → this framework's tree
+# keys (the same mapping the structural importers above apply one call at a
+# time).  Needed for LoRA checkpoints: the reference's `add_lora` with
+# target_modules=None wraps EVERY nn.Linear/nn.Conv2d in the stitched model
+# (`utils/lora_util/utils.py:139-189`), so saved LoRA keys reach into
+# `scratch.refinenetN...`, `poseLN_modulation.1`, `input_merger.0`, ...
+_LORA_RENAMES = (
+    (re.compile(r"\.poseLN_modulation\.1\b"), ".modulation"),
+    (re.compile(r"\.scratch\.layer(\d)_rn\b"),
+     lambda m: f".layer_rn.{int(m.group(1)) - 1}"),
+    (re.compile(r"\.scratch\.output_conv2\.0\b"), ".output_conv2.0"),
+    (re.compile(r"\.scratch\.output_conv2\.2\b"), ".output_conv2.1"),
+    (re.compile(r"\.scratch\.output_conv1\b"), ".output_conv1"),
+    (re.compile(r"\.scratch\.refinenet(\d)\.resConfUnit(\d)\.conv(\d)\b"),
+     r".refinenet\1.res\2.conv\3"),
+    (re.compile(r"\.scratch\.refinenet(\d)\.out_conv\b"), r".refinenet\1.out_conv"),
+    (re.compile(r"\.resize_layers\.3\b"), ".resize3"),
+    (re.compile(r"\.input_merger\.0\b"), ".input_merger"),
+)
+
+_VIT_BLOCK_RE = re.compile(r"^(encoder/vit/blocks/)(\d+)(/.*)$")
+
+
+def import_stitched_checkpoint(sd, vit_chop: int = 0) -> dict:
     """`stitched_model_epoch_N.pth` pieces (`model_stitching_training.py:
     57-72`): {"lora": torch-LoRA state dict, "stitching_layer",
     "mask_token", "cls_token", "register_tokens"} → framework trees.
+
+    vit_chop: the stitch layer index k ("enc_blocks_k").  The reference
+    DELETES the first k ViT blocks (`models/anysplat_stitched.py:158-165`),
+    so saved `patch_embed.blocks.{i}` LoRA keys refer to ORIGINAL block
+    k+i; pass k so factors land on the right rows of the full-depth stack.
 
     Returns {"stitch_conv", "special", "lora"} where lora maps our tree
     paths → {"a","b"} factors (torch lora_A/lora_B transposed); biases saved
@@ -370,6 +400,8 @@ def import_stitched_checkpoint(sd) -> dict:
 
     # torch module names → our tree paths
     def map_name(name: str):
+        for pat, repl in _LORA_RENAMES:
+            name = pat.sub(repl, name)
         name = name.replace("encoder.aggregator.patch_embed.",
                             "encoder/vit/")
         name = name.replace("encoder.aggregator.", "encoder/aggregator/")
@@ -377,7 +409,12 @@ def import_stitched_checkpoint(sd) -> dict:
         name = name.replace("encoder.depth_head.", "encoder/depth_head/")
         name = name.replace("encoder.gaussian_param_head.",
                             "encoder/gs_head/")
-        return name.replace(".", "/")
+        name = name.replace(".", "/")
+        if vit_chop:
+            m = _VIT_BLOCK_RE.match(name)
+            if m:
+                name = f"{m.group(1)}{int(m.group(2)) + vit_chop}{m.group(3)}"
+        return name
 
     lora: dict = {}
     for name, value in sd.get("lora", {}).items():

@@ -254,9 +254,9 @@ def lora_from_flat(flat: dict, params) -> dict:
 
     Returns (lora_tree, bias_overrides) — bias_overrides is a nested tree of
     {"b"/"bias"} leaves to graft onto the base params (bias="lora_only"
-    checkpoints carry trained biases)."""
-    import re as _re
-
+    checkpoints carry trained biases).  Digit path parts become int keys so
+    `merge_lora`/`graft` can address list sites (e.g. depth_head/projects/0).
+    """
     lora: dict = {}
     biases: dict = {}
 
@@ -269,7 +269,7 @@ def lora_from_flat(flat: dict, params) -> dict:
     def site_shape(parts):
         node = params
         for p in parts:
-            node = node[int(p)] if isinstance(node, list) else node[p]
+            node = node[p]
         return node
 
     def bias_leaf_key(site_parts):
@@ -277,13 +277,13 @@ def lora_from_flat(flat: dict, params) -> dict:
         return "b" if isinstance(node, dict) and "w" in node else "bias"
 
     for path, factors in flat.items():
-        parts = path.split("/")
+        parts = [int(p) if p.isdigit() else p for p in path.split("/")]
         # stacked block index: ".../blocks/{i}/..." or frame/global_blocks
         m = None
         for i, p in enumerate(parts):
-            if p.endswith("blocks") or p == "trunk":
-                if i + 1 < len(parts) and parts[i + 1].isdigit():
-                    m = (i, int(parts[i + 1]))
+            if isinstance(p, str) and (p.endswith("blocks") or p == "trunk"):
+                if i + 1 < len(parts) and isinstance(parts[i + 1], int):
+                    m = (i, parts[i + 1])
                 break
         if m is None:
             for leaf, v in factors.items():
