@@ -190,10 +190,12 @@ class _VideoLoader:
 
 
 @pytest.mark.slow
-def test_cli_rl_run_full_step(scorer_root):
+def test_cli_rl_run_full_step(scorer_root, tmp_path):
     """`run(..., reward_text_fn=...)` executes a complete SFT+reward step
     with in-framework per-prompt text features — the CLI `--enable_rl`
-    path (`train_vdm.py:509-691`) with no precomputed artifacts."""
+    path (`train_vdm.py:509-691`) with no precomputed artifacts — and
+    writes the step-0 decoded-vs-rendered image grid
+    (`train_vdm.py:665-688`)."""
     root, _ = scorer_root
     loss_fn, text_fn = cli_vdm.build_reward_fns(root, rcfg=RCFG,
                                                 text_cfg=TINY_TEXT)
@@ -224,9 +226,54 @@ def test_cli_rl_run_full_step(scorer_root):
         video_loader=_VideoLoader(1), embed_text=embed_text,
         reward_loss_fn=loss_fn, reward_text_fn=text_fn,
         dit_cfg=DIT, vae_cfg=VAE, scfg=scfg, cfg=cfg, num_steps=1,
-        latent_shape=(1, 16, 2, 8, 8), render_size=56)
+        latent_shape=(1, 16, 2, 8, 8), render_size=56,
+        save_path=str(tmp_path), save_freq=1000)
 
     assert int(state2.step) == 1
     assert len(history) == 1
     assert np.isfinite(history[0]["total_loss"])
     assert history[0]["reward_loss"] != 0.0
+    # step 0 is an every-10 step → one decoded-vs-rendered grid on disk
+    grids = list((tmp_path / "images").glob("step_*.png"))
+    assert len(grids) == 1
+    import imageio.v2 as imageio
+    grid = imageio.imread(grids[0])
+    assert grid.ndim == 3 and grid.shape[0] >= 56 and grid.shape[1] >= 56
+
+
+def test_run_resume_restores_stream_position():
+    """`run` resumes the DATA STREAM, not just the state
+    (`train_vdm.py:465-496`): at step N the loaders skip N mod len batches
+    and their samplers get epoch N // len."""
+    calls = {}
+
+    class _Sampler:
+        def __init__(self, name):
+            self.name = name
+
+        def set_epoch(self, e):
+            calls[self.name + "_epoch"] = e
+
+    class _Loader:
+        def __init__(self, name, n):
+            self.sampler = _Sampler(name)
+            self.name, self.n = name, n
+
+        def __len__(self):
+            return self.n
+
+        def __iter__(self):
+            return iter([])
+
+        def skip_first_batches(self, n):
+            calls[self.name + "_skip"] = n
+            return self
+
+    state = vdm.VDMTrainState(jnp.asarray(7), None, None, None)
+    cli_vdm.run(state, None, None, None,
+                text_loader=_Loader("text", 3), video_loader=_Loader("video", 5),
+                embed_text=None, reward_loss_fn=None,
+                dit_cfg=None, vae_cfg=None, scfg=None,
+                cfg=vdm.VDMTrainConfig(enable_rl=False), num_steps=7)
+    assert calls == {"text_epoch": 2, "text_skip": 1,
+                     "video_epoch": 1, "video_skip": 2}

@@ -141,6 +141,22 @@ def test_batch_loader(dl3dv_root):
     assert batches[0]["vae_image_tensor"].shape == (2, 3, 5, 32, 32)
 
 
+def test_batch_loader_skip_first_batches():
+    """Resume parity (`train_vdm.py:475-487`): the next epoch drops its
+    first n batches WITHOUT loading them, then later epochs are whole."""
+    class _Range:
+        def get(self, idx, rng):
+            return {"x": np.asarray([idx], np.int64)}
+
+    smp = ShardedSampler(8, 1, 0, shuffle=False)
+    loader = BatchLoader(_Range(), 2, smp, num_workers=1)
+    full = [b["x"][:, 0].tolist() for b in loader]
+    loader.skip_first_batches(3)
+    skipped = [b["x"][:, 0].tolist() for b in loader]
+    assert skipped == full[3:]
+    assert [b["x"][:, 0].tolist() for b in loader] == full  # one-shot
+
+
 # --------------------------------------------------------------------------- #
 # CLI                                                                         #
 # --------------------------------------------------------------------------- #

@@ -51,8 +51,21 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
         stitched_params = mesh_mod.replicate(mesh, stitched_params)
     mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     history = []
-    video_iter = iter(video_loader)
     step = int(state.step)
+    # data-stream resume (`train_vdm.py:465-496`): on resume at step N both
+    # loaders skip N mod len mid-epoch batches and restore the epoch counter
+    # that seeds their samplers — state AND stream position resume together
+    text_len = max(len(text_loader), 1)
+    video_len = max(len(video_loader), 1)
+    text_epoch, skip_text = divmod(step, text_len)
+    video_epoch, skip_video = divmod(step, video_len)
+    for loader, epoch, skip in ((text_loader, text_epoch, skip_text),
+                                (video_loader, video_epoch, skip_video)):
+        if hasattr(loader, "sampler"):
+            loader.sampler.set_epoch(epoch)
+        if skip and hasattr(loader, "skip_first_batches"):
+            loader.skip_first_batches(skip)
+    video_iter = iter(video_loader)
     while step < num_steps:
         for text_batch in text_loader:
             if step >= num_steps:
@@ -60,6 +73,9 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
             try:
                 video_batch = next(video_iter)
             except StopIteration:
+                video_epoch += 1
+                if hasattr(video_loader, "sampler"):
+                    video_loader.sampler.set_epoch(video_epoch)
                 video_iter = iter(video_loader)
                 video_batch = next(video_iter)
 
@@ -79,6 +95,11 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
                     mesh, (video, sft_text))
                 rl_cond, rl_uncond = mesh_mod.replicate(
                     mesh, (rl_cond, rl_uncond))
+            # every-10-step decoded-vs-rendered grid (`train_vdm.py:665-688`;
+            # step%10==0 also forces the max rollout length, so this never
+            # adds a jit variant beyond the one image-emitting program)
+            want_images = (cfg.enable_rl and reward_loss_fn is not None
+                           and save_path is not None and step % 10 == 0)
             with mesh_ctx:
                 state, metrics = vdm.vdm_train_step(
                     state, dit_params, vae_params, stitched_params,
@@ -87,23 +108,54 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
                     reward_loss_fn=reward_loss_fn, key=key, dit_cfg=dit_cfg,
                     vae_cfg=vae_cfg, scfg=scfg, cfg=cfg,
                     latent_shape=latent_shape, render_size=render_size,
-                    reward_text=reward_text)
+                    reward_text=reward_text, return_images=want_images)
             step = int(state.step)
+            imgs = metrics.pop("images", None)
             m = {k: float(v) for k, v in metrics.items()}
             history.append({"step": step, "prompt": prompt, **m})
             if on_metrics:
                 on_metrics(history[-1])
+            if imgs:
+                _save_image_grid(
+                    Path(save_path) / "images" / f"step_{step:06d}.png",
+                    imgs)
             if save_path is not None and step % save_freq == 0:
                 ckpt.save_vdm_checkpoint(
                     save_path, step, lora=state.lora,
                     lora_ema=ema_mod.ema_params_like(state.ema, state.lora),
                     opt_state=state.opt_state, ema_shadow=state.ema,
                     meta={"step": step})
+        text_epoch += 1                       # `train_vdm.py:689-691`
+        if hasattr(text_loader, "sampler"):
+            text_loader.sampler.set_epoch(text_epoch)
     if save_path is not None:
         Path(save_path).mkdir(parents=True, exist_ok=True)
         (Path(save_path) / "history.jsonl").write_text(
             "\n".join(json.dumps(h) for h in history))
     return state, history
+
+
+def _save_image_grid(path: Path, imgs, cols: int = 7):
+    """(decoded (1,H,W,3), rendered (V,H,W,3)) in [0,1] → one PNG grid —
+    the file-based equivalent of the reference's wandb image log
+    (`train_vdm.py:665-688`)."""
+    import imageio.v2 as imageio
+
+    decoded, rendered = imgs
+    tiles = np.concatenate([np.asarray(decoded, np.float32),
+                            np.asarray(rendered, np.float32)], axis=0)
+    tiles = (np.clip(tiles, 0.0, 1.0) * 255.0).astype(np.uint8)
+    n, h, w, c = tiles.shape
+    cols = min(cols, n)
+    rows = -(-n // cols)
+    pad = rows * cols - n
+    if pad:
+        tiles = np.concatenate(
+            [tiles, np.zeros((pad, h, w, c), np.uint8)], axis=0)
+    grid = tiles.reshape(rows, cols, h, w, c).transpose(0, 2, 1, 3, 4) \
+        .reshape(rows * h, cols * w, c)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    imageio.imwrite(str(path), grid)
 
 
 def build_reward_fns(root, *, pick_dir="pickscore", pe_dir="dfn5b",

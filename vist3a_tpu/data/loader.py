@@ -83,6 +83,14 @@ class BatchLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self._skip = 0
+
+    def skip_first_batches(self, n: int):
+        """Resume mid-epoch: the NEXT `__iter__` drops its first n batches
+        (accelerate `skip_first_batches` parity, `train_vdm.py:475-487` —
+        but skipped batches are never loaded, only their indices dropped)."""
+        self._skip = int(n)
+        return self
 
     def __len__(self):
         n = len(self.sampler)
@@ -99,6 +107,10 @@ class BatchLoader:
         n_batches = len(self)
         batches = [indices[i * self.batch_size:(i + 1) * self.batch_size]
                    for i in range(n_batches)]
+        if self._skip:
+            batches = batches[self._skip:]
+            n_batches = len(batches)
+            self._skip = 0
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         job_q: "queue.Queue" = queue.Queue()

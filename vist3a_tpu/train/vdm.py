@@ -180,7 +180,8 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
 @functools.lru_cache(maxsize=64)
 def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                   reward_loss_fn, num_steps: int,
-                  latent_shape: tuple, render_size: int, pair_budget):
+                  latent_shape: tuple, render_size: int, pair_budget,
+                  return_images: bool = False):
     """The jitted per-step program, cached by the static rollout config.
 
     Everything heavy runs in ONE compiled program (eager execution through
@@ -213,6 +214,7 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
             diffusion_loss = flow_match.flow_matching_loss(pred, target)
 
             reward_loss = jnp.float32(0.0)
+            imgs = ()
             if cfg.enable_rl and reward_loss_fn is not None:
                 lat = rollout(merged, latents0, rl_cond, rl_uncond, dit_cfg,
                               num_steps=num_steps, guidance_scale=guidance,
@@ -220,16 +222,22 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                               flow_shift=cfg.flow_shift)
                 lat_un = wan_vae.unnormalize_latents(lat)
                 decoded = wan_vae.decode(vae_params, lat_un, vae_cfg, remat=True)
-                reward_loss, _ = calculate_reward(
+                reward_loss, pair = calculate_reward(
                     k_reward, lat_un, decoded, stitched_params, scfg,
                     reward_loss_fn, render_size=render_size,
                     pair_budget=pair_budget,
                     text_feats=reward_text if reward_text else None)
+                if return_images:
+                    # decoded-vs-rendered pair for the every-10-step image
+                    # grid (`train_vdm.py:665-688`); only the step%10==0
+                    # variant (num_steps == high) ever compiles with this on
+                    imgs = jax.lax.stop_gradient(pair)
             total = diffusion_loss + reward_loss
-            return total, {"diffusion_loss": diffusion_loss,
-                           "reward_loss": reward_loss, "total_loss": total}
+            return total, ({"diffusion_loss": diffusion_loss,
+                            "reward_loss": reward_loss, "total_loss": total},
+                           imgs)
 
-        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.lora)
+        grads, (metrics, imgs) = jax.grad(loss_fn, has_aux=True)(state.lora)
         gnorm = optax.global_norm(grads)
         finite = jnp.isfinite(gnorm)
         # non-finite grad-norm → skip the update (`train_vdm.py:641-644`)
@@ -250,6 +258,8 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                                      ema_mod.EMAConfig(decay=cfg.ema_decay))
         metrics = {**metrics, "grad_norm": gnorm,
                    "skipped": jnp.logical_not(finite)}
+        if return_images:
+            metrics = {**metrics, "images": imgs}
         return VDMTrainState(state.step + 1, new_lora, opt_state,
                              new_ema), metrics
 
@@ -265,7 +275,8 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
                    latent_shape=(1, 16, 4, 64, 64),
                    render_size: int = 448,
                    pair_budget: int | None = None,
-                   reward_text=None):
+                   reward_text=None,
+                   return_images: bool = False):
     """One VDM step: host-side synced randomness picks the rollout config,
     then ONE cached jitted program does everything (VAE encode, SFT loss,
     truncated-rollout reward, update, EMA).
@@ -298,7 +309,8 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
 
     fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg, reward_loss_fn,
                        num_steps, tuple(latent_shape),
-                       render_size, pair_budget)
+                       render_size, pair_budget,
+                       return_images=bool(return_images and rl))
     return fn(state, dit_params, vae_params, stitched_params, video,
               sft_text, rl_cond, rl_uncond, bp_mask,
               () if reward_text is None else tuple(reward_text), guidance,
