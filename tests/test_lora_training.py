@@ -212,6 +212,12 @@ def test_stitch_train_step_runs_and_descends(tiny_stitched, mesh8):
     latent, images, teacher01 = (jax.device_put(x, data_sh)
                                  for x in (latent, images, teacher01))
 
+    k_chop = scfg.stitch_layer_index
+    init_vit_lora = jax.tree.map(np.asarray,
+                                 state.trainable["lora"]["vit"]["blocks"])
+    init_mask_tok = np.asarray(
+        state.trainable["model"]["encoder"]["vit"]["mask_token"])
+
     metrics_hist = []
     for _ in range(2):
         state, metrics = st.stitch_train_step(
@@ -228,6 +234,22 @@ def test_stitch_train_step_runs_and_descends(tiny_stitched, mesh8):
     assert any(
         not np.array_equal(np.zeros_like(x), np.asarray(x))
         for x in jax.tree.leaves(state.trainable["lora"]))
+
+    # structurally-unused trainables stay bit-identical to init (torch skips
+    # grad=None params — AdamW weight decay must not drift them):
+    # chopped ViT-block LoRA rows [0, k) and the mask token
+    final_vit_lora = state.trainable["lora"]["vit"]["blocks"]
+    moved_live = False
+    for init_leaf, leaf in zip(jax.tree.leaves(init_vit_lora),
+                               jax.tree.leaves(final_vit_lora)):
+        np.testing.assert_array_equal(init_leaf[:k_chop],
+                                      np.asarray(leaf)[:k_chop])
+        moved_live |= not np.array_equal(init_leaf[k_chop:],
+                                         np.asarray(leaf)[k_chop:])
+    assert moved_live, "live ViT-block LoRA rows never updated"
+    np.testing.assert_array_equal(
+        init_mask_tok,
+        np.asarray(state.trainable["model"]["encoder"]["vit"]["mask_token"]))
 
 
 def test_conv_hwio_lora_merge_matches_oihw():

@@ -19,10 +19,11 @@ and parameters are replicated, so XLA inserts the DDP-equivalent gradient
 all-reduce (psum over "data") automatically.  The view-count randomness
 selects one of 4 pre-compiled step shapes (static shapes under jit).
 
-Structurally-unused trainables (LoRA rows of chopped ViT blocks [0,k), the
-mask token) receive zero gradient but still see AdamW weight decay — unlike
-torch, which skips params with `grad=None`.  They are unused by every
-forward path, so the drift is inert; the checkpoint exporter slices them off.
+Structurally-unused trainables (LoRA rows and LoRA-site biases of the
+chopped ViT blocks [0,k), the mask token) receive zero gradient; torch
+skips such params entirely (`grad=None`), so AdamW's decoupled weight decay
+must not drift them either — `mask_structurally_unused` zeroes their
+updates inside the step, keeping them bit-identical to init.
 """
 
 from __future__ import annotations
@@ -120,6 +121,29 @@ def assemble_params(trainable: dict, frozen: dict,
                                            trainable["lora"], lora_cfg)}
 
 
+def mask_structurally_unused(updates, k_chop: int):
+    """Zero the optimizer updates of trainables NO forward path reads: LoRA
+    factors + LoRA-site biases of the chopped ViT blocks [0, k)
+    (`models/anysplat_stitched.py:158-165` deletes those blocks) and the
+    DINOv2 mask token.  Their gradient is structurally zero, so torch's
+    AdamW skips them (`grad=None`); without this mask optax's decoupled
+    weight decay would silently decay them away from the checkpoint."""
+    def walk(node, path):
+        if node is None:                 # `partition` placeholder
+            return None
+        if isinstance(node, dict):
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, path + (i,)) for i, v in enumerate(node)]
+        if path[-1:] == ("mask_token",):
+            return jnp.zeros_like(node)
+        if k_chop and "vit" in path and "blocks" in path:
+            return node.at[:k_chop].set(0)
+        return node
+
+    return walk(updates, ())
+
+
 def loss_fn(trainable, frozen, teacher_out, latent, images, scfg: StitchedConfig,
             lora_cfg: lora_mod.LoraConfig):
     params = assemble_params(trainable, frozen, lora_cfg)
@@ -165,6 +189,7 @@ def stitch_train_step(state: TrainState, teacher_params,
 
     opt = build_optimizer(train_cfg)
     updates, opt_state = opt.update(grads, state.opt_state, state.trainable)
+    updates = mask_structurally_unused(updates, scfg.stitch_layer_index)
     trainable = optax.apply_updates(state.trainable, updates)
     gnorm = optax.global_norm(grads)
     metrics = {**losses, "grad_norm": gnorm,
