@@ -147,16 +147,27 @@ def _flash_fwd(q, k, v, scale, bq, bk, interpret):
 _LOG2E = 1.4426950408889634
 
 
-def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, l_s, *,
-                  scale: float, n_k: int, bk: int):
+def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
+                  d: int):
     """Head-dim-on-sublanes schedule: q/k/v arrive as (D, N) tiles so D=64
     needs NO 128-lane zero-padding (halves attention HBM traffic), and the
     PV product is a natural (D, BK)·(BK, BQ) matmul with full 128-lane
     output — the only remaining MXU pad is the unavoidable 64-deep QK
     contraction.  Softmax runs along sublanes of the (BK, BQ) score tile in
-    base-2 (scale·log2e folded into the QK product; exp2 is cheaper than exp
-    on the VPU — measured 0.6 ms at the global shape); the saved lse is
-    converted back to natural units so the backward kernels are unchanged."""
+    base-2; the saved lse is converted back to natural units so the backward
+    kernels are unchanged.
+
+    The VPU (the measured bound at the global shape) does ONLY
+    max / subtract / exp2 / rescale here — everything else is folded into
+    the MXU products, whose contraction pad (64→128) makes the extra
+    feature rows free:
+      * scale·log2e is pre-multiplied into q (host-side, N·D work);
+      * key masking is an additive BIAS FEATURE: q row d carries 1.0, k row
+        d carries 0 (real) / −1e30 (padding), so S already contains the
+        mask — no iota/compare/select per block;
+      * the softmax denominator is a ones-ROW in v (row d): PV row d
+        accumulates Σp under the same online rescale as the output — no
+        VPU sum-reduce, no separate l scratch."""
     j = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -164,17 +175,12 @@ def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, l_s, *,
     def _():
         acc[:] = jnp.zeros_like(acc)
         m_s[:] = jnp.full_like(m_s, _NEG_INF)
-        l_s[:] = jnp.zeros_like(l_s)
 
-    qt = qt_ref[0]                                       # (D, BQ)
-    kt = kt_ref[0]                                       # (D, BK)
+    qt = qt_ref[0]                                       # (D+1, BQ)
+    kt = kt_ref[0]                                       # (D+1, BK)
     st = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * _LOG2E)                                 # (BK, BQ) = Sᵀ·log2e
-
-    # mask padded keys (rows here)
-    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, st.shape, 0)
-    st = jnp.where(k_idx < n_k, st, _NEG_INF)
+    )                                                    # (BK, BQ), scaled+masked
 
     m_prev = m_s[0:1, :]                                 # (1, BQ)
     m_cur = jnp.max(st, axis=0, keepdims=True)           # (1, BQ)
@@ -182,18 +188,17 @@ def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, l_s, *,
     alpha = jnp.exp2(m_prev - m_new)                     # (1, BQ)
     p = jnp.exp2(st - m_new)                             # (BK, BQ)
 
-    l_s[0:1, :] = l_s[0:1, :] * alpha + jnp.sum(p, axis=0, keepdims=True)
     m_s[0:1, :] = m_new
     acc[:] = acc[:] * alpha + jax.lax.dot_general(
         vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                                    # (D, BQ)
+    )                                                    # (D+1, BQ); row d = l
 
     @pl.when(j == nkb - 1)
     def _():
-        l = l_s[0:1, :]
+        l = acc[d:d + 1, :]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        ot_ref[0] = (acc[:] / safe_l).astype(ot_ref.dtype)
+        ot_ref[0] = (acc[:, :] / safe_l).astype(ot_ref.dtype)
         # natural-log lse: ln(Σ exp(s)) = ln2·(m₂ + log2 l₂)
         lse = (m_s[0:1, :] + jnp.log2(safe_l)) * (1.0 / _LOG2E)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(
@@ -207,36 +212,47 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     n_k = kt.shape[2]
     n_qp = _cdiv(n_q, bq) * bq
     n_kp = _cdiv(n_k, bk) * bk
-    qp = _pad_to(qt, n_qp, 2)
-    kp = _pad_to(kt, n_kp, 2)
-    vp = _pad_to(vt, n_kp, 2)
+    dt = qt.dtype
+
+    # feature row d: q→1, k→0 (real) / −1e30·log2e⁻¹? no — the bias adds to
+    # the BASE-2 score directly, so −1e30 is already "−inf" for exp2
+    qp = jnp.concatenate(
+        [qt.astype(jnp.float32) * (scale * _LOG2E),
+         jnp.ones((bh, 1, n_q), jnp.float32)], axis=1).astype(dt)
+    kmask = jnp.full((bh, 1, n_kp), _NEG_INF, jnp.float32) \
+        .at[:, :, :n_k].set(0.0).astype(dt)
+    kp = jnp.concatenate([_pad_to(kt, n_kp, 2), kmask], axis=1)
+    # ones-row on v: PV row d accumulates the softmax denominator
+    vp = jnp.concatenate(
+        [_pad_to(vt, n_kp, 2),
+         jnp.ones((bh, 1, n_kp), dt)], axis=1)
+    qp = _pad_to(qp, n_qp, 2)
 
     grid = (bh, n_qp // bq, n_kp // bk)
-    kernel = functools.partial(_fwd_kernel_t, scale=scale, n_k=n_k, bk=bk)
+    kernel = functools.partial(_fwd_kernel_t, d=d)
     ot, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, d, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, d, bk), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, d, bk), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, d + 1, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, d, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, d + 1, bq), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, d, n_qp), qt.dtype),
+            jax.ShapeDtypeStruct((bh, d + 1, n_qp), qt.dtype),
             jax.ShapeDtypeStruct((bh, 8, n_qp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((d, bq), jnp.float32),
-            pltpu.VMEM((8, bq), jnp.float32),
+            pltpu.VMEM((d + 1, bq), jnp.float32),
             pltpu.VMEM((8, bq), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp)
-    return ot[:, :, :n_q], lse[:, 0, :n_q]
+    return ot[:, :d, :n_q], lse[:, 0, :n_q]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
