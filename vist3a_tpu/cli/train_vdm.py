@@ -55,10 +55,16 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
     # data-stream resume (`train_vdm.py:465-496`): on resume at step N both
     # loaders skip N mod len mid-epoch batches and restore the epoch counter
     # that seeds their samplers — state AND stream position resume together
-    text_len = max(len(text_loader), 1)
-    video_len = max(len(video_loader), 1)
-    text_epoch, skip_text = divmod(step, text_len)
-    video_epoch, skip_video = divmod(step, video_len)
+    def _length(loader):
+        try:                      # sized loaders only; step-count fakes pass
+            return max(len(loader), 1)
+        except TypeError:
+            return 0
+
+    text_len = _length(text_loader)
+    video_len = _length(video_loader)
+    text_epoch, skip_text = divmod(step, text_len) if text_len else (0, 0)
+    video_epoch, skip_video = divmod(step, video_len) if video_len else (0, 0)
     for loader, epoch, skip in ((text_loader, text_epoch, skip_text),
                                 (video_loader, video_epoch, skip_video)):
         if hasattr(loader, "sampler"):

@@ -30,13 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 # Tuned on TPU v5e at the VGGT global-attention shape (N=13377, H=16, D=64):
 # natural 1024/1024 → 13.6 ms vs 46 ms fused-XLA (3.4×); transposed
-# (head-dim-on-sublanes) 2048/1024 → 12.4 ms (2048/512: 12.25 but that
-# block_k would break the frame shape's single-1152-block collapse, which
-# is worth more: frame transposed 2.33 ms vs natural 2.71 ms).
+# bound-max kernel 2048/1536 → 7.41 ms (vs 7.90 at bk=1024, 8.27 at
+# 1024/1024).  Short sequences still collapse to one rounded block (the
+# `bq+256` rule below), so the frame shape (N=1029 → 1056/1056, 0.98 ms)
+# is unaffected by the defaults.
 DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
 DEFAULT_BQ_T = 2048
-DEFAULT_BK_T = 1024
+DEFAULT_BK_T = 1536
 _NEG_INF = -1e30
 
 
@@ -147,7 +148,7 @@ def _flash_fwd(q, k, v, scale, bq, bk, interpret):
 _LOG2E = 1.4426950408889634
 
 
-def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
+def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, *,
                   d: int):
     """Head-dim-on-sublanes schedule: q/k/v arrive as (D, N) tiles so D=64
     needs NO 128-lane zero-padding (halves attention HBM traffic), and the
@@ -157,39 +158,36 @@ def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
     base-2; the saved lse is converted back to natural units so the backward
     kernels are unchanged.
 
-    The VPU (the measured bound at the global shape) does ONLY
-    max / subtract / exp2 / rescale here — everything else is folded into
-    the MXU products, whose contraction pad (64→128) makes the extra
-    feature rows free:
+    The VPU (the measured bound at the global shape) does ONLY exp2 here —
+    everything else is folded into the MXU products, whose contraction pad
+    (64→128) makes the extra feature rows free:
       * scale·log2e is pre-multiplied into q (host-side, N·D work);
       * key masking is an additive BIAS FEATURE: q row d carries 1.0, k row
         d carries 0 (real) / −1e30 (padding), so S already contains the
         mask — no iota/compare/select per block;
+      * the softmax max is a PER-ROW UPPER BOUND (Cauchy–Schwarz
+        ‖q_i‖·max_j‖k_j‖, exact for the data at hand, computed outside in
+        N·D work) carried as q row d+1 against −1 in k row d+1, so scores
+        arrive max-subtracted — NO online max, NO rescale, NO m scratch.
+        fp32 exp2 keeps ~2⁻¹²⁶ of headroom below the bound, far beyond the
+        bound's slack on any real data (LayerNorm'd q/k: slack ≲ 2⁶);
       * the softmax denominator is a ones-ROW in v (row d): PV row d
-        accumulates Σp under the same online rescale as the output — no
-        VPU sum-reduce, no separate l scratch."""
+        accumulates Σp — no VPU sum-reduce, no separate l scratch."""
     j = pl.program_id(2)
     nkb = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
-        m_s[:] = jnp.full_like(m_s, _NEG_INF)
 
-    qt = qt_ref[0]                                       # (D+1, BQ)
-    kt = kt_ref[0]                                       # (D+1, BK)
+    qt = qt_ref[0]                                       # (D+2, BQ)
+    kt = kt_ref[0]                                       # (D+2, BK)
     st = jax.lax.dot_general(
         kt, qt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )                                                    # (BK, BQ), scaled+masked
+    )                                            # (BK, BQ): scaled−bound+mask
 
-    m_prev = m_s[0:1, :]                                 # (1, BQ)
-    m_cur = jnp.max(st, axis=0, keepdims=True)           # (1, BQ)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp2(m_prev - m_new)                     # (1, BQ)
-    p = jnp.exp2(st - m_new)                             # (BK, BQ)
-
-    m_s[0:1, :] = m_new
-    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+    p = jnp.exp2(st)                                     # ≤ 1 by the bound
+    acc[:] += jax.lax.dot_general(
         vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                    # (D+1, BQ); row d = l
@@ -199,8 +197,11 @@ def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
         l = acc[d:d + 1, :]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         ot_ref[0] = (acc[:, :] / safe_l).astype(ot_ref.dtype)
-        # natural-log lse: ln(Σ exp(s)) = ln2·(m₂ + log2 l₂)
-        lse = (m_s[0:1, :] + jnp.log2(safe_l)) * (1.0 / _LOG2E)
+        # natural-log lse: ln(Σ exp(s)) = ln2·(M + log2 l₂); M is read back
+        # from the q block so it is EXACTLY the (bf16-rounded) value the
+        # MXU subtracted.
+        m = qt[d + 1:d + 2, :].astype(jnp.float32)
+        lse = (m + jnp.log2(safe_l)) * (1.0 / _LOG2E)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(
             jnp.float32)
 
@@ -214,14 +215,22 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     n_kp = _cdiv(n_k, bk) * bk
     dt = qt.dtype
 
-    # feature row d: q→1, k→0 (real) / −1e30·log2e⁻¹? no — the bias adds to
-    # the BASE-2 score directly, so −1e30 is already "−inf" for exp2
+    # feature row d (mask): q→1, k→0 (real) / −1e30 (pad) — the bias adds to
+    # the BASE-2 score directly, so −1e30 is already "−inf" for exp2.
+    # feature row d+1 (max bound): q→M_i = ‖q̂_i‖·max_j‖k_j‖ (+ a bf16
+    # rounding margin), k→−1, so st = ŝ − M + mask arrives ≤ 0.
+    qs = qt.astype(jnp.float32) * (scale * _LOG2E)
+    kf = kt.astype(jnp.float32)
+    qn = jnp.sqrt(jnp.sum(qs * qs, axis=1))              # (BH, N_q)
+    kn_max = jnp.sqrt(jnp.max(jnp.sum(kf * kf, axis=1), axis=1))   # (BH,)
+    m_bound = qn * kn_max[:, None] * 1.02 + 1.0          # margin: bf16 folds
     qp = jnp.concatenate(
-        [qt.astype(jnp.float32) * (scale * _LOG2E),
-         jnp.ones((bh, 1, n_q), jnp.float32)], axis=1).astype(dt)
+        [qs, jnp.ones((bh, 1, n_q), jnp.float32),
+         m_bound[:, None, :]], axis=1).astype(dt)
     kmask = jnp.full((bh, 1, n_kp), _NEG_INF, jnp.float32) \
         .at[:, :, :n_k].set(0.0).astype(dt)
-    kp = jnp.concatenate([_pad_to(kt, n_kp, 2), kmask], axis=1)
+    kp = jnp.concatenate([_pad_to(kt, n_kp, 2), kmask,
+                          jnp.full((bh, 1, n_kp), -1.0, dt)], axis=1)
     # ones-row on v: PV row d accumulates the softmax denominator
     vp = jnp.concatenate(
         [_pad_to(vt, n_kp, 2),
@@ -234,8 +243,8 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, d + 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, d + 2, bq), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, d + 2, bk), lambda b, i, j: (b, 0, j)),
             pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
         ],
         out_specs=[
@@ -248,7 +257,6 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((d + 1, bq), jnp.float32),
-            pltpu.VMEM((8, bq), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp)
