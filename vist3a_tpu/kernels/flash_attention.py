@@ -58,7 +58,12 @@ def _pad_to(x, n, axis):
 # forward                                                                     #
 # --------------------------------------------------------------------------- #
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *,
-                scale: float, n_k: int, bk: int):
+                n_k: int, bk: int, masked: bool):
+    """Natural (N-on-sublanes) schedule for D ≥ 128: lanes carry the full
+    head dim, so bias-feature folding (the D<128 transposed kernel's trick)
+    would double the QK lane pad (130→256) — instead scale·log2e is folded
+    into q host-side (base-2 softmax, no per-tile scale multiply) and key
+    masking compiles away entirely when N_k divides the block size."""
     j = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -72,17 +77,17 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *,
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK), base-2 scaled
 
-    # mask padded keys
-    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_idx < n_k, s, _NEG_INF)
+    if masked:  # only compiled in when padded keys exist
+        k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_idx < n_k, s, _NEG_INF)
 
     m_prev = m_s[:, 0:1]                                 # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)           # (BQ, 1)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                      # (BQ, 1)
-    p = jnp.exp(s - m_new)                               # (BQ, BK)
+    alpha = jnp.exp2(m_prev - m_new)                     # (BQ, 1)
+    p = jnp.exp2(s - m_new)                              # (BQ, BK)
 
     l_s[:, 0:1] = l_s[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_s[:, 0:1] = m_new
@@ -96,8 +101,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc, m_s, l_s, *,
         l = l_s[:, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc[:] / safe_l).astype(o_ref.dtype)
-        # lse stored as 128 identical lanes: keeps the block tile-aligned
-        lse = m_s[:, 0:1] + jnp.log(safe_l)  # (BQ, 1)
+        # natural-log lse (ln(Σexp) = ln2·(m₂ + log2 l₂)), stored as 128
+        # identical lanes to keep the block tile-aligned
+        lse = (m_s[:, 0:1] + jnp.log2(safe_l)) * (1.0 / _LOG2E)
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(jnp.float32)
 
 
@@ -107,12 +113,14 @@ def _flash_fwd(q, k, v, scale, bq, bk, interpret):
     n_k = k.shape[1]
     n_qp = _cdiv(n_q, bq) * bq
     n_kp = _cdiv(n_k, bk) * bk
-    qp = _pad_to(q, n_qp, 1)
+    qp = _pad_to((q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype),
+                 n_qp, 1)
     kp = _pad_to(k, n_kp, 1)
     vp = _pad_to(v, n_kp, 1)
 
     grid = (bh, n_qp // bq, n_kp // bk)
-    kernel = functools.partial(_fwd_kernel, scale=scale, n_k=n_k, bk=bk)
+    kernel = functools.partial(_fwd_kernel, n_k=n_k, bk=bk,
+                               masked=n_kp != n_k)
     o, lse = pl.pallas_call(
         kernel,
         grid=grid,
