@@ -55,6 +55,51 @@ def test_dispatcher_xla_path(rng):
     assert out.shape == q.shape
 
 
+@pytest.mark.parametrize("layout,d", [("transposed", 64), ("natural", 128)])
+def test_flash_ragged_and_extreme_scales(rng, layout, d):
+    """Bound-max softmax (transposed) / mask-elided base-2 (natural) under
+    the conditions that would break a wrong max bound or a wrong mask:
+    ragged key counts, tiny and huge q/k magnitudes, and a zero q row."""
+    n_q, n_k = 160, 303                       # ragged: key padding required
+    for mag in (1e-3, 1.0, 30.0):
+        q = (rng.standard_normal((1, n_q, 2, d)) * mag).astype(np.float32)
+        k = (rng.standard_normal((1, n_k, 2, d)) * mag).astype(np.float32)
+        v = rng.standard_normal((1, n_k, 2, d)).astype(np.float32)
+        q[0, 0] = 0.0                         # zero row → uniform attention
+        ref = _ref_attention(q, k, v)
+        out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              block_q=128, block_k=128, interpret=True,
+                              layout=layout)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_bf16_bound_margin(rng):
+    """bf16 inputs at hot magnitudes (logit std ≈ 64 → near-one-hot rows):
+    the folded-bound margin must keep everything finite, and the kernel must
+    match a reference fed the SAME bf16-rounded pre-scaled q (the one extra
+    rounding the folding applies — near-tie argmax flips from that rounding
+    are input noise, not kernel error)."""
+    q = jnp.asarray(rng.standard_normal((1, 256, 2, 64)) * 8.0, jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((1, 256, 2, 64)) * 8.0, jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((1, 256, 2, 64)), jnp.bfloat16)
+    out = flash_attention(q, k, v, block_q=128, block_k=128, interpret=True,
+                          layout="transposed").astype(jnp.float32)
+    assert np.isfinite(np.asarray(out)).all()
+    scale = 64 ** -0.5
+    log2e = 1.4426950408889634
+    q_rounded = (np.asarray(q, np.float32) * (scale * log2e)).astype(
+        jnp.bfloat16).astype(np.float32) / (scale * log2e)
+    ref = _ref_attention(q_rounded, np.asarray(k, np.float32),
+                         np.asarray(v, np.float32))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=6e-2, atol=6e-2)
+    # and the true-input reference is still matched in aggregate (no
+    # catastrophic underflow / zeroed rows)
+    ref_true = _ref_attention(np.asarray(q, np.float32),
+                              np.asarray(k, np.float32),
+                              np.asarray(v, np.float32))
+    assert np.abs(np.asarray(out) - ref_true).mean() < 1e-2
+
+
 def test_rope2d_matches_reference_formula():
     """Cross-check against a direct port of the reference math
     (`vggt/layers/rope.py:86-188`) computed in numpy."""

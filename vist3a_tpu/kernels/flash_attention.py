@@ -214,6 +214,47 @@ def _fwd_kernel_t(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, *,
             jnp.float32)
 
 
+def _fwd_kernel_t_onmax(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
+                        d: int):
+    """Online-max fallback over the SAME bias-folded inputs as
+    `_fwd_kernel_t`: softmax is shift-invariant per row, so the −M shift the
+    MXU already applied cancels exactly under a running max — correct for
+    ANY input magnitude (the bound kernel's exp2 would underflow once the
+    Cauchy–Schwarz slack exceeds ~2¹²⁰).  lse adds M back from q row d+1."""
+    j = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, _NEG_INF)
+
+    qt = qt_ref[0]                                       # (D+2, BQ)
+    st = jax.lax.dot_general(
+        kt_ref[0], qt, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (BK, BQ): scaled−M+mask
+
+    m_prev = m_s[0:1, :]
+    m_new = jnp.maximum(m_prev, jnp.max(st, axis=0, keepdims=True))
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(st - m_new)
+
+    m_s[0:1, :] = m_new
+    acc[:] = acc[:] * alpha + jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # row d = l
+
+    @pl.when(j == nkb - 1)
+    def _():
+        l = acc[d:d + 1, :]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        ot_ref[0] = (acc[:, :] / safe_l).astype(ot_ref.dtype)
+        m_fold = qt[d + 1:d + 2, :].astype(jnp.float32)
+        lse = (m_s[0:1, :] + jnp.log2(safe_l) + m_fold) * (1.0 / _LOG2E)
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:]).astype(
+            jnp.float32)
+
+
 def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     """qt,kt,vt: (BH, D, N) — D unpadded (any sublane multiple of 8).
     Returns (ot (BH, D, N_q), lse (BH, N_q))."""
@@ -246,28 +287,42 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     qp = _pad_to(qp, n_qp, 2)
 
     grid = (bh, n_qp // bq, n_kp // bk)
-    kernel = functools.partial(_fwd_kernel_t, d=d)
-    ot, lse = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, d + 2, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, d + 2, bk), lambda b, i, j: (b, 0, j)),
-            pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, d + 1, bq), lambda b, i, j: (b, 0, i)),
-            pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, d + 1, n_qp), qt.dtype),
-            jax.ShapeDtypeStruct((bh, 8, n_qp), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((d + 1, bq), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qp, kp, vp)
+
+    def call(kernel, extra_scratch):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, d + 2, bq), lambda b, i, j: (b, 0, i)),
+                pl.BlockSpec((1, d + 2, bk), lambda b, i, j: (b, 0, j)),
+                pl.BlockSpec((1, d + 1, bk), lambda b, i, j: (b, 0, j)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, d + 1, bq), lambda b, i, j: (b, 0, i)),
+                pl.BlockSpec((1, 8, bq), lambda b, i, j: (b, 0, i)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((bh, d + 1, n_qp), qt.dtype),
+                jax.ShapeDtypeStruct((bh, 8, n_qp), jnp.float32),
+            ],
+            scratch_shapes=[pltpu.VMEM((d + 1, bq), jnp.float32),
+                            *extra_scratch],
+            interpret=interpret,
+        )
+
+    # Bound-max is safe iff every row's exp2 argument stays within fp32
+    # range: slack ≤ M − (−M) = 2M, so max(M) ≤ 60 ⇒ p ∈ [2⁻¹²⁰, 1].
+    # LayerNorm'd/qk-norm'd trunks live far below the threshold (M ≈ 11.5·γ²
+    # at D=64); anything hotter falls back to the online-max kernel on the
+    # SAME folded operands (one scalar branch, both compiled once).
+    ot, lse = jax.lax.cond(
+        jnp.max(m_bound) <= 60.0,
+        lambda q_, k_, v_: call(functools.partial(_fwd_kernel_t, d=d),
+                                ())(q_, k_, v_),
+        lambda q_, k_, v_: call(functools.partial(_fwd_kernel_t_onmax, d=d),
+                                (pltpu.VMEM((8, bq), jnp.float32),))(
+                                    q_, k_, v_),
+        qp, kp, vp)
     return ot[:, :d, :n_q], lse[:, 0, :n_q]
 
 
