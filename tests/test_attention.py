@@ -73,6 +73,30 @@ def test_flash_ragged_and_extreme_scales(rng, layout, d):
         np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("layout,d", [("transposed", 64), ("natural", 128)])
+def test_flash_grad_ragged_all_inputs(rng, layout, d):
+    """dQ/dK/dV parity for both layouts at a ragged shape (key padding in
+    the backward kernels) against the XLA closed form."""
+    n_q, n_k = 160, 303
+    q = jnp.asarray(rng.standard_normal((1, n_q, 2, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, n_k, 2, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, n_k, 2, d)), dtype=jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, block_q=128, block_k=128,
+                            interpret=True, layout=layout)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_xla(q, k, v):
+        return jnp.sum(jnp.sin(_xla_attention(q, k, v)))
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_x = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_f, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
 def test_flash_bf16_bound_margin(rng):
     """bf16 inputs at hot magnitudes (logit std ≈ 64 → near-one-hot rows):
     the folded-bound margin must keep everything finite, and the kernel must

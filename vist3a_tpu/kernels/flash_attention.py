@@ -337,35 +337,172 @@ def _flash_core_t_fwd(qt, kt, vt, scale, bq, bk, interpret):
     return ot, (qt, kt, vt, ot, lse)
 
 
+def _dq_kernel_t(qb_ref, kb_ref, vb_ref, dob_ref, dq_ref, dq_acc):
+    """Transposed dQ: operands stay (D, N) — no 128-lane padding, and the
+    dQ matmul contracts over BK at full MXU efficiency.  All softmax/grad
+    algebra is folded into the products (see `_flash_core_t_bwd`):
+      st = kbᵀ·qb = ŝ + mask − lse₂  →  p = exp2(st) ∈ [0,1] exactly
+      dpf = vbᵀ·dob = scale·dp − δ̂  (ones-row on v̂ against −δ̂ row on do)
+      ds  = p∘dpf = scale·ds        →  dq = kb·ds  (rows ≥ d sliced off)
+    The backward needs NO running max — p is exact by construction."""
+    j = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    st = jax.lax.dot_general(
+        kb_ref[0], qb_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (BK, BQ)
+    p = jnp.exp2(st)
+    dpf = jax.lax.dot_general(
+        vb_ref[0], dob_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (BK, BQ)
+    ds = (p * dpf).astype(kb_ref.dtype)
+    dq_acc[:] += jax.lax.dot_general(
+        kb_ref[0], ds, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (D+2, BQ)
+
+    @pl.when(j == nkb - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel_t(qb_ref, kb_ref, vb_ref, dob_ref, dk_ref, dv_ref,
+                  dk_acc, dv_acc, *, inv_alpha: float):
+    """Transposed dK/dV: K block parallel on grid axis 1, Q blocks swept on
+    the trailing sequential axis.  dV and dK contract over BQ at full MXU
+    efficiency; dK accumulates against q̂ = α·q so the final write divides
+    by α once per K block."""
+    i = pl.program_id(2)
+    nqb = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    st = jax.lax.dot_general(
+        kb_ref[0], qb_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (BK, BQ)
+    p = jnp.exp2(st)
+    dv_acc[:] += jax.lax.dot_general(
+        dob_ref[0], p.astype(dob_ref.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (D+1, BK)
+    dpf = jax.lax.dot_general(
+        vb_ref[0], dob_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = (p * dpf).astype(qb_ref.dtype)
+    dk_acc[:] += jax.lax.dot_general(
+        qb_ref[0], ds, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (D+2, BK)
+
+    @pl.when(i == nqb - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * inv_alpha).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
 def _flash_core_t_bwd(scale, bq, bk, interpret, res, g):
-    """Backward reuses the natural-layout kernels: residuals are relaid
-    out + 128-padded here, which only materializes under differentiation."""
+    """Transposed backward: residuals stay in (BH, D, N) layout — no
+    swapaxes, no 128-lane padding (the natural-layout relayout used to
+    double the backward's HBM traffic and halve three matmuls' lane
+    efficiency).  The softmax/grad algebra folds into bias feature rows:
+      qb = [α·q ; 1 ; lse·log2e]   kb = [k ; 0/−1e30 mask ; −1]
+      vb = [scale·v ; 1]           dob = [g ; −scale·δ]
+    with α = scale·log2e and δ = Σ_d g·o."""
     qt, kt, vt, ot, lse = res
-    d = qt.shape[1]
-    d_pad = max(128, _cdiv(d, 128) * 128)
+    bh, d, n_q = qt.shape
+    n_k = kt.shape[2]
+    # the (BK,BQ)-tile compute set must fit the ~16 MB scoped-VMEM budget
+    bq = min(bq, 1024)
+    bk = min(bk, 1024)
+    n_qp = _cdiv(n_q, bq) * bq
+    n_kp = _cdiv(n_k, bk) * bk
+    dt = qt.dtype
+    alpha = scale * _LOG2E
 
-    def to_nat(x):
-        return _pad_to(jnp.swapaxes(x, 1, 2), d_pad, 2)
+    delta = jnp.sum(g.astype(jnp.float32) * ot.astype(jnp.float32), axis=1)
 
-    lse128 = jnp.broadcast_to(lse[:, :, None], (*lse.shape, 128))
-    # the backward works on the 128-padded natural layout, whose tiles are
-    # twice the transposed forward's — the forward's bq=2048 overflows the
-    # 16 MB scoped-VMEM budget at the multi-view global shape (measured:
-    # 16.84 MB requested). Cap the backward q block at 1024.
-    dq, dk, dv = _flash_bwd(
-        scale, min(bq, 1024), bk, interpret,
-        (to_nat(qt), to_nat(kt), to_nat(vt), to_nat(ot), lse128),
-        to_nat(g))
-    return (jnp.swapaxes(dq[..., :d], 1, 2),
-            jnp.swapaxes(dk[..., :d], 1, 2),
-            jnp.swapaxes(dv[..., :d], 1, 2))
+    def hi_lo(x):
+        """Split an fp32 row into two dt rows summing to ~fp32 accuracy —
+        a per-row CONSTANT error in a folded exponent/offset does not cancel
+        in gradients (unlike the forward, which renormalizes by Σp), so one
+        bf16 row would leak ~0.4%·|x| into every grad row."""
+        hi = x.astype(dt)
+        lo = (x - hi.astype(jnp.float32)).astype(dt)
+        return hi[:, None, :], lo[:, None, :]
+
+    lse_hi, lse_lo = hi_lo(lse * _LOG2E)
+    del_hi, del_lo = hi_lo(-delta * scale)
+    qb = _pad_to(jnp.concatenate(
+        [(qt.astype(jnp.float32) * alpha).astype(dt),
+         jnp.ones((bh, 1, n_q), dt), lse_hi, lse_lo], axis=1), n_qp, 2)
+    kmask = jnp.full((bh, 1, n_kp), _NEG_INF, jnp.float32) \
+        .at[:, :, :n_k].set(0.0).astype(dt)
+    kb = jnp.concatenate(
+        [_pad_to(kt, n_kp, 2), kmask,
+         jnp.full((bh, 2, n_kp), -1.0, dt)], axis=1)
+    vb = jnp.concatenate(
+        [_pad_to((vt.astype(jnp.float32) * scale).astype(dt), n_kp, 2),
+         jnp.ones((bh, 2, n_kp), dt)], axis=1)
+    dob = _pad_to(jnp.concatenate([g, del_hi, del_lo], axis=1), n_qp, 2)
+
+    in_specs_dq = [
+        pl.BlockSpec((1, d + 3, bq), lambda b, i, j: (b, 0, i)),
+        pl.BlockSpec((1, d + 3, bk), lambda b, i, j: (b, 0, j)),
+        pl.BlockSpec((1, d + 2, bk), lambda b, i, j: (b, 0, j)),
+        pl.BlockSpec((1, d + 2, bq), lambda b, i, j: (b, 0, i)),
+    ]
+    dq = pl.pallas_call(
+        _dq_kernel_t,
+        grid=(bh, n_qp // bq, n_kp // bk),
+        in_specs=in_specs_dq,
+        out_specs=[pl.BlockSpec((1, d + 3, bq), lambda b, i, j: (b, 0, i))],
+        out_shape=[jax.ShapeDtypeStruct((bh, d + 3, n_qp), dt)],
+        scratch_shapes=[pltpu.VMEM((d + 3, bq), jnp.float32)],
+        interpret=interpret,
+    )(qb, kb, vb, dob)[0]
+
+    in_specs_dkv = [
+        pl.BlockSpec((1, d + 3, bq), lambda b, j, i: (b, 0, i)),
+        pl.BlockSpec((1, d + 3, bk), lambda b, j, i: (b, 0, j)),
+        pl.BlockSpec((1, d + 2, bk), lambda b, j, i: (b, 0, j)),
+        pl.BlockSpec((1, d + 2, bq), lambda b, j, i: (b, 0, i)),
+    ]
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel_t, inv_alpha=1.0 / alpha),
+        grid=(bh, n_kp // bk, n_qp // bq),
+        in_specs=in_specs_dkv,
+        out_specs=[
+            pl.BlockSpec((1, d + 3, bk), lambda b, j, i: (b, 0, j)),
+            pl.BlockSpec((1, d + 2, bk), lambda b, j, i: (b, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d + 3, n_kp), dt),
+            jax.ShapeDtypeStruct((bh, d + 2, n_kp), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d + 3, bk), jnp.float32),
+            pltpu.VMEM((d + 2, bk), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb, dob)
+
+    return (dq[:, :d, :n_q], dk[:, :d, :n_k], dv[:, :d, :n_k])
 
 
 _flash_core_t.defvjp(_flash_core_t_fwd, _flash_core_t_bwd)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-               dq_acc, *, scale: float, n_k: int, bk: int):
+               dq_acc, *, n_k: int, bk: int, masked: bool):
+    """Base-2 backward over host-folded operands: q̂ = q·scale·log2e,
+    v̂ = v·scale, lse₂ = lse·log2e, δ̂ = δ·scale — so p = exp2(ŝ − lse₂)
+    and d̂s = p∘(d̂p − δ̂) already carries the scale that dq = scale·(ds·k)
+    needs.  No per-tile scale multiplies, exp2 instead of exp, and key
+    masking compiles out when N_k divides the block size."""
     j = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -376,19 +513,20 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_idx < n_k, s, _NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, 0:1])                         # (BQ, BK)
+    )                                                    # base-2 scaled
+    if masked:
+        k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_idx < n_k, s, _NEG_INF)
+    p = jnp.exp2(s - lse_ref[0][:, 0:1])                        # (BQ, BK)
     do = do_ref[0]
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dp - delta_ref[0][:, 0:1])                        # fp32
+    )                                                    # = scale·dp
+    ds = p * (dp - delta_ref[0][:, 0:1])                 # = scale·ds, fp32
     dq_acc[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
 
     @pl.when(j == nkb - 1)
     def _():
@@ -396,8 +534,11 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float,
-                n_k: int, bk: int):
+                dk_ref, dv_ref, dk_acc, dv_acc, *, n_k: int, bk: int,
+                masked: bool, inv_alpha: float):
+    """Same folded operands as `_dq_kernel`; dk accumulates against the
+    pre-scaled q̂, so the final write divides by α = scale·log2e once per
+    K block (dk = scale·dsᵀ·q = d̂sᵀ·q̂ / α)."""
     i = pl.program_id(2)   # q-block index (trailing, sequential)
     nqb = pl.num_programs(2)
 
@@ -410,10 +551,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q, k, v = q_ref[0], k_ref[0], v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                                                    # (BQ, BK)
-    k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(k_idx < n_k, s, _NEG_INF)
-    p = jnp.exp(s - lse_ref[0][:, 0:1])
+    )                                                            # (BQ, BK)
+    if masked:
+        k_idx = j * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(k_idx < n_k, s, _NEG_INF)
+    p = jnp.exp2(s - lse_ref[0][:, 0:1])
     do = do_ref[0]
     dv_acc[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
@@ -426,11 +568,11 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_acc[:] += jax.lax.dot_general(
         ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
+    )
 
     @pl.when(i == nqb - 1)
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0] = (dk_acc[:] * inv_alpha).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -443,14 +585,18 @@ def _flash_bwd(scale, bq, bk, interpret, residuals, g):
 
     delta = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
 
-    qp, dop = _pad_to(q, n_qp, 1), _pad_to(g, n_qp, 1)
-    kp, vp = _pad_to(k, n_kp, 1), _pad_to(v, n_kp, 1)
+    alpha = scale * _LOG2E
+    qp = _pad_to((q.astype(jnp.float32) * alpha).astype(q.dtype), n_qp, 1)
+    dop = _pad_to(g, n_qp, 1)
+    kp = _pad_to(k, n_kp, 1)
+    vp = _pad_to((v.astype(jnp.float32) * scale).astype(v.dtype), n_kp, 1)
     # lse/delta carried as 128 identical lanes (tile-aligned); padded q rows
-    # get lse=+inf so p = exp(s - inf) = 0 and contribute nothing to dK/dV.
-    lsep = _pad_to(lse, n_qp, 1)
+    # get lse=+inf so p = exp2(ŝ - inf) = 0 and contribute nothing to dK/dV.
+    lsep = _pad_to(lse * _LOG2E, n_qp, 1)
     if n_qp > n_q:
         lsep = lsep.at[:, n_q:].set(jnp.inf)
-    deltap = jnp.broadcast_to(_pad_to(delta, n_qp, 1)[:, :, None], (bh, n_qp, 128))
+    deltap = jnp.broadcast_to(_pad_to(delta * scale, n_qp, 1)[:, :, None],
+                              (bh, n_qp, 128))
 
     in_specs = [
         pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
@@ -462,7 +608,7 @@ def _flash_bwd(scale, bq, bk, interpret, residuals, g):
     ]
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, n_k=n_k, bk=bk),
+        functools.partial(_dq_kernel, n_k=n_k, bk=bk, masked=n_kp != n_k),
         grid=(bh, n_qp // bq, n_kp // bk),
         in_specs=in_specs,
         out_specs=[pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0))],
@@ -482,7 +628,8 @@ def _flash_bwd(scale, bq, bk, interpret, residuals, g):
         pl.BlockSpec((1, bq, 128), lambda b, j, i: (b, i, 0)),
     ]
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, n_k=n_k, bk=bk),
+        functools.partial(_dkv_kernel, n_k=n_k, bk=bk, masked=n_kp != n_k,
+                          inv_alpha=1.0 / alpha),
         grid=(bh, n_kp // bk, n_qp // bq),
         in_specs=dkv_specs,
         out_specs=[
