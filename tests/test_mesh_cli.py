@@ -101,6 +101,13 @@ def _embed_text(prompts):
 
 @pytest.mark.parametrize("how", ["fsdp", "tp", "replicated"])
 def test_train_vdm_run_on_mesh_matches_single_device(how):
+    # The VDM step is the largest CPU compile in the suite; after ~80 prior
+    # tests the accumulated executables have twice segfaulted XLA:CPU inside
+    # backend_compile (same stack both times, passes standalone).  Dropping
+    # the jit caches before the big compile keeps the compiler's working set
+    # bounded.
+    jax.clear_caches()
+    vdm._vdm_step_jit.cache_clear()
     scfg = ca.StitchedConfig(encoder=tiny_encoder_cfg(),
                              stitch_layer_index=2,
                              conv_spec="conv3d_k5x3x3_o32_s1x2x2_p2x1x1",
