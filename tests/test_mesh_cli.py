@@ -158,3 +158,29 @@ def test_cli_mesh_args_present():
 def test_local_batch_size():
     mesh = mesh_mod.create_mesh(mesh_mod.MeshConfig(data=4, model=2))
     assert mesh_mod.local_batch_size(3, mesh) == 12  # single process
+
+
+def test_t23d_denoise_tp_matches_single_device():
+    """TP-sharded UniPC denoise (the only way 14B inference fits) ==
+    single-device denoise, on the virtual mesh.  Covers
+    `pipelines/t23d.denoise(mesh=...)` + `core.mesh.place_dit("tp")` as
+    wired by `cli/inference_t23d.main`."""
+    from vist3a_tpu.pipelines import t23d
+
+    jax.clear_caches()
+    cfg = t23d.T23DConfig(width=64, height=64, num_frames=5,
+                          num_inference_steps=4, dit=DIT)
+    dit = wan_dit.init(jax.random.key(0), DIT)
+    cond = jax.random.normal(jax.random.key(1), (1, 14, DIT.text_dim))
+    uncond = jax.random.normal(jax.random.key(2), (1, 14, DIT.text_dim))
+
+    lat_single = t23d.denoise(dit, cond, uncond, cfg,
+                              key=jax.random.key(3))
+
+    mesh = mesh_mod.create_mesh(mesh_mod.MeshConfig(data=4, model=2))
+    dit_tp = mesh_mod.place_dit(dit, DIT, mesh, "tp")
+    lat_tp = t23d.denoise(dit_tp, cond, uncond, cfg,
+                          key=jax.random.key(3), mesh=mesh)
+
+    np.testing.assert_allclose(np.asarray(lat_tp), np.asarray(lat_single),
+                               rtol=2e-4, atol=2e-4)

@@ -249,6 +249,8 @@ def inference_vist3a_argument() -> argparse.ArgumentParser:
     add_model_selection_args(parser)
     add_stitching_args(parser)
     add_common_data_args(parser)
+    # 14B does not fit one chip — TP placement is the deployed mode there
+    add_mesh_args(parser, dit=True, default_dit_sharding="tp")
     g = parser.add_argument_group("Inference")
     g.add_argument("--model_id", default="Wan-AI/Wan2.1-T2V-1.3B-Diffusers",
                    type=str)

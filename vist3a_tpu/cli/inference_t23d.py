@@ -19,8 +19,9 @@ from vist3a_tpu.pipelines import t23d
 
 def run(params: dict, tokenize, prompts: list[str], output_dir: str,
         cfg: t23d.T23DConfig, *, process_index: int = 0,
-        process_count: int = 1, orbit_t: int = 10):
-    """Shard prompts over processes and run the pipeline per prompt."""
+        process_count: int = 1, orbit_t: int = 10, mesh=None):
+    """Shard prompts over processes and run the pipeline per prompt.
+    `mesh`: denoise runs sharded (TP DiT — mandatory at 14B)."""
     results = []
     for prompt in prompts[process_index::process_count]:
         save = Path(output_dir) / prompt[:100].replace("/", "")
@@ -28,7 +29,7 @@ def run(params: dict, tokenize, prompts: list[str], output_dir: str,
         (save / "prompt.txt").write_text(prompt)
         out, paths = t23d.text_to_3dgs(params, tokenize, prompt, str(save),
                                        cfg, key=jax.random.key(cfg.seed),
-                                       orbit_t=orbit_t)
+                                       orbit_t=orbit_t, mesh=mesh)
         results.append((prompt, paths))
     return results
 
@@ -68,8 +69,20 @@ def main(args):
         num_frames=args.num_frames, flow_shift=args.flow_shift,
         guidance_scale=float(str(args.cfg_scale).split(",")[0]),
         stitched=scfg)
+
+    # multi-chip: place the DiT over the mesh (TP for 14B) and shard the
+    # prompt list over processes, as the reference does over ranks (:62)
+    mesh = None
+    if getattr(args, "mesh_model", 1) > 1:
+        from vist3a_tpu.core import mesh as mesh_mod
+
+        mesh = mesh_mod.mesh_from_args(args)
+        params["dit"] = mesh_mod.place_dit(
+            params["dit"], cfg.dit, mesh,
+            getattr(args, "dit_sharding", "tp"))
     run(params, tokenize, prompts, args.output_dir, cfg,
-        process_index=jax.process_index(), process_count=jax.process_count())
+        process_index=jax.process_index(), process_count=jax.process_count(),
+        mesh=mesh)
 
 
 if __name__ == "__main__":

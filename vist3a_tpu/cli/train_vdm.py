@@ -230,25 +230,7 @@ def _clip_tokenizer_from_dir(model_dir, CLIPTokenizer):
         f"merges) under {model_dir}")
 
 
-def place_dit(dit, dit_cfg, mesh, how: str):
-    """DiT parameter placement over the mesh: "fsdp" (ZeRO-3 analogue of
-    the reference's FSDP2 wrap, `train_vdm.py:296-310`), "tp"
-    (`wan_dit.param_shardings` over "model"), or "replicated"."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from vist3a_tpu.nn import wan_dit
-
-    if how == "fsdp":
-        return mesh_mod.shard_params(
-            dit, mesh_mod.fsdp_shardings(dit, mesh))
-    if how == "tp":
-        specs = wan_dit.param_shardings(dit_cfg)
-        return jax.tree_util.tree_map(
-            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
-            dit, specs, is_leaf=lambda x: isinstance(x, type(P())))
-    if how == "replicated":
-        return mesh_mod.replicate(mesh, dit)
-    raise ValueError(f"unknown dit_sharding {how!r}")
+place_dit = mesh_mod.place_dit   # shared with cli/inference_t23d (14B TP)
 
 
 def main(args):

@@ -147,3 +147,24 @@ def fsdp_shardings(params, mesh: Mesh, *, axis: str = DATA_AXIS,
 
 def shard_params(params, shardings):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def place_dit(dit, dit_cfg, mesh: Mesh, how: str):
+    """DiT parameter placement over the mesh: "fsdp" (ZeRO-3 analogue of
+    the reference's FSDP2 wrap, `train_vdm.py:296-310`), "tp"
+    (`wan_dit.param_shardings` over "model" — REQUIRED for 14B inference:
+    28 GB of bf16 params does not fit one 16 GB chip), or "replicated"."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vist3a_tpu.nn import wan_dit
+
+    if how == "fsdp":
+        return shard_params(dit, fsdp_shardings(dit, mesh))
+    if how == "tp":
+        specs = wan_dit.param_shardings(dit_cfg)
+        return jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+            dit, specs, is_leaf=lambda x: isinstance(x, type(P())))
+    if how == "replicated":
+        return replicate(mesh, dit)
+    raise ValueError(f"unknown dit_sharding {how!r}")

@@ -23,6 +23,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vist3a_tpu.diffusion import unipc
 from vist3a_tpu.nn import umt5 as umt5_mod
@@ -109,17 +110,26 @@ def _denoise_jit(cfg: T23DConfig):
 
 
 def denoise(dit_params, cond, uncond, cfg: T23DConfig,
-            key: jax.Array | None = None, *, latents0=None):
+            key: jax.Array | None = None, *, latents0=None, mesh=None):
     """UniPC CFG denoise → pipeline-space (normalized) latents.
 
     The WHOLE 50-step loop is one `lax.scan` jit (`unipc.sample_scan`) —
-    a single compiled program instead of 50 host dispatches; 190 ms/step
+    a single compiled program instead of 50 host dispatches; 187 ms/step
     measured at the 1.3B CFG-pair shape (identical to the bare forward —
-    the scan adds nothing)."""
+    the scan adds nothing).
+
+    mesh: when given, activations are replicated over it and the DiT runs
+    with whatever placement `dit_params` carries (TP via
+    `core.mesh.place_dit` — the only way 14B fits: GSPMD inserts one
+    all-reduce per attn/MLP pair on the "model" axis)."""
     if latents0 is None:
         key = jax.random.key(cfg.seed) if key is None else key
         latents0 = jax.random.normal(key, cfg.latent_shape, jnp.float32)
+    if mesh is not None:
+        from vist3a_tpu.core import mesh as mesh_mod
 
+        latents0, cond, uncond = mesh_mod.replicate(
+            mesh, (latents0, cond, uncond))
     return _denoise_jit(cfg)(dit_params, latents0, cond, uncond)
 
 
@@ -201,14 +211,21 @@ def export_artifacts(gaussians, extrinsic_c2w, intrinsic_norm,
 
 def text_to_3dgs(params: dict, tokenize: Callable, prompt: str,
                  save_path: str, cfg: T23DConfig = T23DConfig(),
-                 key: jax.Array | None = None, *, orbit_t: int = 10):
+                 key: jax.Array | None = None, *, orbit_t: int = 10,
+                 mesh=None):
     """Full pipeline.  params: {"umt5", "dit", "vae", "stitch_conv",
     "encoder"}.  Returns ((gaussians, extrinsic_c2w, intrinsic_norm),
     artifact paths) — the slim export bundle; use
     `decode_and_reconstruct` for the full EncoderOutput (its extra ~1 GB
-    of outputs does not fit next to the resident DiT on a 16 GB chip)."""
+    of outputs does not fit next to the resident DiT on a 16 GB chip).
+
+    mesh: run the denoise stage sharded (TP 14B — see `denoise`); the
+    decode stage stays wherever its params live (the 4 MB latent hops
+    devices through the host, which is noise next to the decode itself)."""
     cond, uncond = embed_prompts(params["umt5"], tokenize, prompt, cfg)
-    latents_norm = denoise(params["dit"], cond, uncond, cfg, key)
+    latents_norm = denoise(params["dit"], cond, uncond, cfg, key, mesh=mesh)
+    if mesh is not None:
+        latents_norm = jnp.asarray(np.asarray(latents_norm))
     dec_params = {k: params[k] for k in ("vae", "stitch_conv", "encoder")}
     gaussians, extr, intr = _decode_export_jit(cfg)(dec_params, latents_norm)
     paths = export_artifacts(gaussians, extr, intr, save_path,
