@@ -106,6 +106,7 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
             # adds a jit variant beyond the one image-emitting program)
             want_images = (cfg.enable_rl and reward_loss_fn is not None
                            and save_path is not None and step % 10 == 0)
+            img_step = step        # grid depicts THIS step's rollout
             with mesh_ctx:
                 state, metrics = vdm.vdm_train_step(
                     state, dit_params, vae_params, stitched_params,
@@ -123,7 +124,7 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
                 on_metrics(history[-1])
             if imgs:
                 _save_image_grid(
-                    Path(save_path) / "images" / f"step_{step:06d}.png",
+                    Path(save_path) / "images" / f"step_{img_step:06d}.png",
                     imgs)
             if save_path is not None and step % save_freq == 0:
                 ckpt.save_vdm_checkpoint(
@@ -230,7 +231,9 @@ def _clip_tokenizer_from_dir(model_dir, CLIPTokenizer):
         f"merges) under {model_dir}")
 
 
-place_dit = mesh_mod.place_dit   # shared with cli/inference_t23d (14B TP)
+place_dit = mesh_mod.place_dit   # re-export: pre-move callers/tests use
+                                 # train_vdm.place_dit; canonical home is
+                                 # core.mesh (inference_t23d calls it there)
 
 
 def main(args):

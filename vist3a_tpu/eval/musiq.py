@@ -23,13 +23,17 @@ JAX code in google-research/musiq), deployed hyperparameters:
 
 VERIFIABILITY (documented deviation): pyiqa and its checkpoint are absent
 from this environment (zero egress), so the numeric output cannot be pinned
-against the reference scorer here.  What IS pinned by tests: the multi-scale
-patch geometry, HSE hashing, mask correctness (padded slots cannot change
-the score), determinism, and a recorded golden transcript of this
-implementation under fixed seeds (regression pin).  `import_musiq` maps a
-torch state_dict by structural shape matching so a real
-`musiq_spaq_ckpt-*.pth` can be dropped in without knowing pyiqa's exact key
-spelling; unmatched keys raise.
+against the reference scorer here — and for the same reason no torch-key
+importer is shipped (pyiqa's exact key spelling could not be confirmed, and
+a guessed mapping would mis-wire silently).  What IS pinned by tests: the
+multi-scale patch geometry, HSE hashing, mask correctness (padded slots
+cannot change the score), determinism, and a recorded golden transcript of
+this implementation under fixed seeds (regression pin).  Conversion of the
+published `musiq_spaq_ckpt-*.pth` is a one-time OFFLINE step where pyiqa
+exists: walk its modules into this tree layout (torch Linear weights
+transposed to our (in, out)) and `save_musiq_npz`; `load_musiq_npz`
+validates every key and shape against this config and refuses on any
+mismatch.
 """
 
 from __future__ import annotations
@@ -105,7 +109,8 @@ def init(key: jax.Array, cfg: MUSIQConfig = MUSIQConfig(),
 # --------------------------------------------------------------------------- #
 def _resize_longer(img: np.ndarray, longer: int) -> np.ndarray:
     """(H,W,3) float → aspect-preserving bilinear resize, longer side =
-    `longer` (never upscales beyond the original)."""
+    `longer` — UP or down (MUSIQ's fixed-scale inputs always resize to the
+    target; only the native scale is capped, by `max_native_side`)."""
     h, w = img.shape[:2]
     scale = longer / max(h, w)
     nh, nw = max(round(h * scale), 1), max(round(w * scale), 1)
@@ -280,7 +285,8 @@ def load_musiq_npz(path, cfg: MUSIQConfig = MUSIQConfig()) -> dict:
     """Flat npz (keys like "blocks/3/qkv/w") → param tree; validated against
     this config's shapes."""
     flat = dict(np.load(path))
-    ref = _flatten(init(jax.random.key(0), cfg))
+    skeleton = init(jax.random.key(0), cfg)      # tree structure + shapes
+    ref = _flatten(skeleton)
     missing = set(ref) - set(flat)
     extra = set(flat) - set(ref)
     if missing or extra:
@@ -298,4 +304,4 @@ def load_musiq_npz(path, cfg: MUSIQConfig = MUSIQConfig()) -> dict:
             return [build(v, f"{prefix}{i}/") for i, v in enumerate(node)]
         return jnp.asarray(flat[prefix[:-1]])
 
-    return build(init(jax.random.key(0), cfg))
+    return build(skeleton)

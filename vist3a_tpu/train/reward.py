@@ -81,6 +81,11 @@ def make_loss_fn(pick_params, pe_params, *, pick_text=None, pe_text=None,
     def loss_fn(im_pm1, pick_text=None, pe_text=None):
         pick_text = bound_pick if pick_text is None else pick_text
         pe_text = bound_pe if pe_text is None else pe_text
+        if pick_text is None or pe_text is None:
+            raise ValueError(
+                "reward loss needs text features: bind pick_text/pe_text in "
+                "make_loss_fn or pass them per call (vdm_train_step's "
+                "reward_text)")
         b = im_pm1.shape[0]
         pick_im = pickscore_preprocess(im_pm1, cfg.pick_cfg.image_size)
         pick_img = clip_mod.image_features(pick_params, pick_im,
@@ -142,7 +147,7 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
     loss_r, _, _ = loss_fn(rendered_pm1, **tkw)
 
     gt_idx = jax.random.randint(k_frame, (1,), 0, t_pix)
-    decoded = jnp.swapaxes(feedforward[:, :, gt_idx[0]], 0, 0)  # (1,3,H,W)
+    decoded = feedforward[:, :, gt_idx[0]]                      # (1,3,H,W)
     loss_d, _, _ = loss_fn(decoded, **tkw)
 
     imgs = (jnp.transpose((decoded + 1) / 2, (0, 2, 3, 1)),

@@ -147,7 +147,9 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
     if backprop_mask is not None:
         mask = jnp.asarray(backprop_mask, jnp.float32)
     else:
-        chosen = set(int(i) for i in backprop_steps) | {num_steps - 1}
+        # no steps given → last step only (the reference always forces it,
+        # `train_vdm.py:592-596`)
+        chosen = set(int(i) for i in backprop_steps or ()) | {num_steps - 1}
         mask = jnp.asarray([1.0 if i in chosen else 0.0
                             for i in range(num_steps)], jnp.float32)
 
