@@ -75,10 +75,20 @@ def make_loss_fn(pick_params, pe_params, *, pick_text=None, pe_text=None,
     the jitted train step's cache key independent of the prompt (the
     reference recomputes text features in-loop, `utils/reward.py:152-174`).
     Returns loss_fn(im_pm1, pick_text=None, pe_text=None)
-    → (loss, mixed_score, scores)."""
-    bound_pick, bound_pe = pick_text, pe_text
+    → (loss, mixed_score, scores).
 
-    def loss_fn(im_pm1, pick_text=None, pe_text=None):
+    The CLIP tower params may also arrive per call (pick_params/pe_params
+    overrides): `vdm_train_step` passes `loss_fn.reward_params` as traced
+    jit ARGUMENTS so the ~2.5 GB of frozen towers are not baked into the
+    compiled program as constants (which would double their HBM and ship
+    them through the remote-compile tunnel on every variant)."""
+    bound_pick, bound_pe = pick_text, pe_text
+    bound_pick_params, bound_pe_params = pick_params, pe_params
+
+    def loss_fn(im_pm1, pick_text=None, pe_text=None,
+                pick_params=None, pe_params=None):
+        pick_params = bound_pick_params if pick_params is None else pick_params
+        pe_params = bound_pe_params if pe_params is None else pe_params
         pick_text = bound_pick if pick_text is None else pick_text
         pe_text = bound_pe if pe_text is None else pe_text
         if pick_text is None or pe_text is None:
@@ -111,6 +121,8 @@ def make_loss_fn(pick_params, pe_params, *, pick_text=None, pe_text=None,
                   "peclip_score": jnp.mean(pe_diag)}
         return loss, mixed, scores
 
+    # picked up by vdm_train_step and threaded as traced args (see above)
+    loss_fn.reward_params = {"pick": pick_params, "pe": pe_params}
     return loss_fn
 
 
@@ -119,16 +131,21 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
                      scfg: ca.StitchedConfig, loss_fn: Callable, *,
                      num_render_views: int = 13, render_size: int = 448,
                      pair_budget: int | None = None,
-                     text_feats=None):
+                     text_feats=None, reward_params=None):
     """`utils/reward.py:198-256` for batch size 1 (the reference's loop body).
 
     gen_latents: (1,16,T,h,w) un-normalized; video: (1,3,T_pix,H,W) decoded
     frames in [−1,1].  text_feats: optional (pick_text, pe_text) runtime
     features forwarded to loss_fn (per-prompt, traced — see make_loss_fn).
+    reward_params: optional {"pick","pe"} tower params forwarded the same
+    way (traced, so they are jit ARGUMENTS rather than baked constants).
     Returns (reward_loss, (decoded_frame, rendered_views))
     — images in [0,1] (B,H,W,3) for logging."""
     tkw = ({} if text_feats is None
            else {"pick_text": text_feats[0], "pe_text": text_feats[1]})
+    if reward_params:
+        tkw["pick_params"] = reward_params["pick"]
+        tkw["pe_params"] = reward_params["pe"]
     k_views, k_frame = jax.random.split(key)
     t_pix = video.shape[2]
     feedforward = ca.resize_align_corners_nd(

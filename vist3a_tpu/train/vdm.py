@@ -192,12 +192,14 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
     Only the (bucketed) rollout LENGTH keys a fresh variant: the chosen
     backprop steps ride as a runtime 0/1 mask and the per-prompt scorer
     text features as runtime arrays, so an RL run compiles at most
-    high/bucket (=5 deployed) programs.  reward_loss_fn's scorer params
-    ride as jit constants (frozen CLIP towers)."""
+    high/bucket (=5 deployed) programs.  The frozen CLIP tower params ride
+    as a traced `reward_params` argument (loss_fn.reward_params) — baking
+    them into the program as closure constants doubles their HBM and ships
+    ~2.5 GB through the remote compile per variant."""
 
     def run(state, dit_params, vae_params, stitched_params, video, sft_text,
-            rl_cond, rl_uncond, bp_mask, reward_text, guidance,
-            k_vae, k_flow, k_noise, k_reward):
+            rl_cond, rl_uncond, bp_mask, reward_text, reward_params,
+            guidance, k_vae, k_flow, k_noise, k_reward):
         from vist3a_tpu.train.reward import calculate_reward
 
         # frozen VAE encode of the SFT clip (posterior sample, normalized)
@@ -228,7 +230,8 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                     k_reward, lat_un, decoded, stitched_params, scfg,
                     reward_loss_fn, render_size=render_size,
                     pair_budget=pair_budget,
-                    text_feats=reward_text if reward_text else None)
+                    text_feats=reward_text if reward_text else None,
+                    reward_params=reward_params if reward_params else None)
                 if return_images:
                     # decoded-vs-rendered pair for the every-10-step image
                     # grid (`train_vdm.py:665-688`); only the step%10==0
@@ -313,9 +316,13 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
                        num_steps, tuple(latent_shape),
                        render_size, pair_budget,
                        return_images=bool(return_images and rl))
+    # scorer tower params travel as traced args, not closure constants
+    reward_params = (getattr(reward_loss_fn, "reward_params", None)
+                     if rl else None) or {}
     return fn(state, dit_params, vae_params, stitched_params, video,
               sft_text, rl_cond, rl_uncond, bp_mask,
-              () if reward_text is None else tuple(reward_text), guidance,
+              () if reward_text is None else tuple(reward_text),
+              reward_params, guidance,
               k_vae, k_flow, k_noise, k_reward)
 
 
