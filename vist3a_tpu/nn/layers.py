@@ -66,7 +66,31 @@ def layer_norm(params, x, eps=1e-5):
     return y.astype(x.dtype)
 
 
+# GELU policy.  torch nn.GELU (the reference default, `vggt/layers/mlp.py`)
+# is the exact erf form; erf is the single largest non-matmul cost in the
+# trunk on TPU (measured at the decode shape N=13377, d=1024: 2.24 ms/block
+# with erf vs 1.79 ms/block with the tanh approximation — the four matmuls
+# alone are 1.61 ms).  For BF16 activations the tanh form is used: its
+# deviation from erf (≤1.1e-3 absolute, in the saturating tails where
+# |gelu(x)| ≥ 1) is below the 2⁻⁸ rounding the bf16 activations already
+# carry — measured end to end (`tests/test_gelu_policy.py`): the bf16
+# trunk's final depth moves 5.2e-6 mean / 3.1e-5 max relative under
+# tanh-vs-erf, vs the 1.9e-5 / 8.9e-5 the bf16 cast itself already moved it
+# from fp32 (3.7× below the quantization noise).  fp32 activations
+# (heads, camera trunk, all parity tests) always take the exact erf path.
+_GELU_BF16 = "tanh"
+
+
+def set_bf16_gelu(mode: str) -> None:
+    """'tanh' (default, fast) or 'exact' — GELU form for bf16 activations."""
+    global _GELU_BF16
+    assert mode in ("tanh", "exact"), mode
+    _GELU_BF16 = mode
+
+
 def gelu(x):
+    if _GELU_BF16 == "tanh" and x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     # exact (erf) GELU — torch nn.GELU default used throughout the reference
     return jax.nn.gelu(x, approximate=False)
 
