@@ -28,6 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vist3a_tpu.kernels.partitioning import cached_partitioned
+
 # Tuned on TPU v5e at the VGGT global-attention shape (N=13377, H=16, D=64):
 # natural 1024/1024 → 13.6 ms vs 46 ms fused-XLA (3.4×); transposed
 # bound-max kernel 2048/1536 → 7.41 ms (vs 7.90 at bk=1024, 8.27 at
@@ -145,6 +147,16 @@ def _flash_fwd(q, k, v, scale, bq, bk, interpret):
         interpret=interpret,
     )(qp, kp, vp)
     return o[:, :n_q], lse[:, :n_q]
+
+
+@cached_partitioned
+def _fwd_part(scale, bq, bk, interpret):
+    """GSPMD-partitionable natural-layout forward: BH dim may shard (TP
+    heads / DP batch), N/D replicate (see `kernels/partitioning`)."""
+    def fun(q, k, v):
+        return _flash_fwd(q, k, v, scale, bq, bk, interpret)
+
+    return fun, 2, True
 
 
 # --------------------------------------------------------------------------- #
@@ -276,8 +288,12 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     qp = jnp.concatenate(
         [qs, jnp.ones((bh, 1, n_q), jnp.float32),
          m_bound[:, None, :]], axis=1).astype(dt)
-    kmask = jnp.full((bh, 1, n_kp), _NEG_INF, jnp.float32) \
-        .at[:, :, :n_k].set(0.0).astype(dt)
+    # concat (not .at[].set) — the scatter form bakes an empty index array
+    # into the jaxpr as a constant, which breaks partitioned tracing
+    kmask = jnp.concatenate(
+        [jnp.zeros((bh, 1, n_k), jnp.float32),
+         jnp.full((bh, 1, n_kp - n_k), _NEG_INF, jnp.float32)],
+        axis=2).astype(dt)
     kp = jnp.concatenate([_pad_to(kt, n_kp, 2), kmask,
                           jnp.full((bh, 1, n_kp), -1.0, dt)], axis=1)
     # ones-row on v: PV row d accumulates the softmax denominator
@@ -326,14 +342,23 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
     return ot[:, :d, :n_q], lse[:, 0, :n_q]
 
 
+@cached_partitioned
+def _fwd_t_part(scale, bq, bk, interpret):
+    """GSPMD-partitionable transposed forward (BH shards, D/N replicate)."""
+    def fun(qt, kt, vt):
+        return _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret)
+
+    return fun, 2, True
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_core_t(qt, kt, vt, scale, bq, bk, interpret):
-    ot, _ = _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret)
+    ot, _ = _fwd_t_part(scale, bq, bk, interpret)(qt, kt, vt)
     return ot
 
 
 def _flash_core_t_fwd(qt, kt, vt, scale, bq, bk, interpret):
-    ot, lse = _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret)
+    ot, lse = _fwd_t_part(scale, bq, bk, interpret)(qt, kt, vt)
     return ot, (qt, kt, vt, ot, lse)
 
 
@@ -405,6 +430,20 @@ def _dkv_kernel_t(qb_ref, kb_ref, vb_ref, dob_ref, dk_ref, dv_ref,
 
 
 def _flash_core_t_bwd(scale, bq, bk, interpret, res, g):
+    qt, kt, vt, ot, lse = res
+    return _bwd_t_part(scale, bq, bk, interpret)(qt, kt, vt, ot, lse, g)
+
+
+@cached_partitioned
+def _bwd_t_part(scale, bq, bk, interpret):
+    def fun(qt, kt, vt, ot, lse, g):
+        return _flash_bwd_t_impl(qt, kt, vt, ot, lse, g,
+                                 scale, bq, bk, interpret)
+
+    return fun, 3, True
+
+
+def _flash_bwd_t_impl(qt, kt, vt, ot, lse, g, scale, bq, bk, interpret):
     """Transposed backward: residuals stay in (BH, D, N) layout — no
     swapaxes, no 128-lane padding (the natural-layout relayout used to
     double the backward's HBM traffic and halve three matmuls' lane
@@ -412,7 +451,6 @@ def _flash_core_t_bwd(scale, bq, bk, interpret, res, g):
       qb = [α·q ; 1 ; lse·log2e]   kb = [k ; 0/−1e30 mask ; −1]
       vb = [scale·v ; 1]           dob = [g ; −scale·δ]
     with α = scale·log2e and δ = Σ_d g·o."""
-    qt, kt, vt, ot, lse = res
     bh, d, n_q = qt.shape
     n_k = kt.shape[2]
     # the (BK,BQ)-tile compute set must fit the ~16 MB scoped-VMEM budget
@@ -439,8 +477,10 @@ def _flash_core_t_bwd(scale, bq, bk, interpret, res, g):
     qb = _pad_to(jnp.concatenate(
         [(qt.astype(jnp.float32) * alpha).astype(dt),
          jnp.ones((bh, 1, n_q), dt), lse_hi, lse_lo], axis=1), n_qp, 2)
-    kmask = jnp.full((bh, 1, n_kp), _NEG_INF, jnp.float32) \
-        .at[:, :, :n_k].set(0.0).astype(dt)
+    kmask = jnp.concatenate(
+        [jnp.zeros((bh, 1, n_k), jnp.float32),
+         jnp.full((bh, 1, n_kp - n_k), _NEG_INF, jnp.float32)],
+        axis=2).astype(dt)
     kb = jnp.concatenate(
         [_pad_to(kt, n_kp, 2), kmask,
          jnp.full((bh, 2, n_kp), -1.0, dt)], axis=1)
@@ -578,6 +618,18 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
 def _flash_bwd(scale, bq, bk, interpret, residuals, g):
     q, k, v, o, lse = residuals
+    return _bwd_part(scale, bq, bk, interpret)(q, k, v, o, lse, g)
+
+
+@cached_partitioned
+def _bwd_part(scale, bq, bk, interpret):
+    def fun(q, k, v, o, lse, g):
+        return _flash_bwd_impl(q, k, v, o, lse, g, scale, bq, bk, interpret)
+
+    return fun, 3, True
+
+
+def _flash_bwd_impl(q, k, v, o, lse, g, scale, bq, bk, interpret):
     bh, n_q, d = q.shape
     n_k = k.shape[1]
     n_qp = _cdiv(n_q, bq) * bq
@@ -592,9 +644,11 @@ def _flash_bwd(scale, bq, bk, interpret, residuals, g):
     vp = _pad_to((v.astype(jnp.float32) * scale).astype(v.dtype), n_kp, 1)
     # lse/delta carried as 128 identical lanes (tile-aligned); padded q rows
     # get lse=+inf so p = exp2(ŝ - inf) = 0 and contribute nothing to dK/dV.
-    lsep = _pad_to(lse * _LOG2E, n_qp, 1)
-    if n_qp > n_q:
-        lsep = lsep.at[:, n_q:].set(jnp.inf)
+    lsep = lse * _LOG2E
+    if n_qp > n_q:   # concat, not .at[].set — see the kmask note above
+        lsep = jnp.concatenate(
+            [lsep, jnp.full((bh, n_qp - n_q, *lsep.shape[2:]), jnp.inf,
+                            lsep.dtype)], axis=1)
     deltap = jnp.broadcast_to(_pad_to(delta * scale, n_qp, 1)[:, :, None],
                               (bh, n_qp, 128))
 
@@ -655,12 +709,12 @@ def _flash_bwd(scale, bq, bk, interpret, residuals, g):
 # --------------------------------------------------------------------------- #
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_core(q, k, v, scale, bq, bk, interpret):
-    o, _ = _flash_fwd(q, k, v, scale, bq, bk, interpret)
+    o, _ = _fwd_part(scale, bq, bk, interpret)(q, k, v)
     return o
 
 
 def _flash_core_fwd(q, k, v, scale, bq, bk, interpret):
-    o, lse = _flash_fwd(q, k, v, scale, bq, bk, interpret)
+    o, lse = _fwd_part(scale, bq, bk, interpret)(q, k, v)
     return o, (q, k, v, o, lse)
 
 

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vist3a_tpu.kernels.partitioning import cached_partitioned
+
 TILE = 16            # pixels per tile side (16×16 = 256 px, gsplat's tile)
 PIX = TILE * TILE
 CHUNK = 128          # pairs per grid step (lane width)
@@ -500,55 +502,83 @@ def _composite(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
                           ntx, n_tiles, interpret)[0]
 
 
+@cached_partitioned
+def _composite_fwd_part(ntx, n_tiles, interpret):
+    """GSPMD rule for the composite: replicate everything (the kernel owns
+    the whole tile space; its operands are replicated at the call sites —
+    B=1 rollout renders in the RL step).  Without the wrapper, ANY
+    multi-device program containing the raw Mosaic call fails to lower
+    (see `kernels/partitioning`)."""
+    def fun(chunk_tile, chunk_first, chunk_last, attrs):
+        n_chunks = attrs.shape[1] // CHUNK
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((ATTR_ROWS, CHUNK),
+                             lambda c, ct, cf, cl: (0, c)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((PIX, 8), jnp.float32),
+                pltpu.VMEM((PIX, 128), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, ntx=ntx, n_tiles=n_tiles),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_tiles + 1, PIX, 8),
+                                           jnp.float32),
+            interpret=interpret,
+        )(chunk_tile, chunk_first, chunk_last, attrs)
+
+    return fun, 1, False
+
+
 def _composite_fwd(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
                    interpret):
-    n_chunks = attrs.shape[1] // CHUNK
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.VMEM((PIX, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, ntx=ntx, n_tiles=n_tiles),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles + 1, PIX, 8), jnp.float32),
-        interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_last, attrs)
+    out = _composite_fwd_part(ntx, n_tiles, interpret)(
+        chunk_tile, chunk_first, chunk_last, attrs)
     return out, (attrs, chunk_tile, chunk_first, chunk_last, out)
+
+
+@cached_partitioned
+def _composite_bwd_part(ntx, n_tiles, interpret):
+    def fun(chunk_tile, chunk_first, chunk_last, attrs, out, g):
+        n_chunks = attrs.shape[1] // CHUNK
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_chunks,),
+            in_specs=[
+                pl.BlockSpec((ATTR_ROWS, CHUNK),
+                             lambda c, ct, cf, cl: (0, c)),
+                pl.BlockSpec((1, PIX, 8),
+                             lambda c, ct, cf, cl: (ct[c], 0, 0)),
+                pl.BlockSpec((1, PIX, 8),
+                             lambda c, ct, cf, cl: (ct[c], 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
+            scratch_shapes=[
+                pltpu.VMEM((PIX, 128), jnp.float32),
+                pltpu.VMEM((PIX, 128), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, ntx=ntx, n_tiles=n_tiles),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+            interpret=interpret,
+        )(chunk_tile, chunk_first, chunk_last, attrs, out, g)
+
+    return fun, 1, False
 
 
 def _composite_bwd(ntx, n_tiles, interpret, res, g):
     attrs, chunk_tile, chunk_first, chunk_last, out = res
-    n_chunks = attrs.shape[1] // CHUNK
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec((ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-            pl.BlockSpec((1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
-            pl.BlockSpec((1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
-        ],
-        out_specs=pl.BlockSpec(
-            (ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
-        scratch_shapes=[
-            pltpu.VMEM((PIX, 128), jnp.float32),
-            pltpu.VMEM((PIX, 128), jnp.float32),
-        ],
-    )
-    dattrs = pl.pallas_call(
-        functools.partial(_bwd_kernel, ntx=ntx, n_tiles=n_tiles),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
-        interpret=interpret,
-    )(chunk_tile, chunk_first, chunk_last, attrs, out, g)
+    dattrs = _composite_bwd_part(ntx, n_tiles, interpret)(
+        chunk_tile, chunk_first, chunk_last, attrs, out, g)
     return (dattrs, None, None, None)
 
 

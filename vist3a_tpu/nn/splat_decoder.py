@@ -5,8 +5,8 @@ Parity target: `src/model/decoder/decoder_splatting_cuda.py:28-152`
 normalized intrinsics are denormalized by (W, H), RGB+D render with explicit
 covariances, near_plane=1e-10, radius_clip=0.1, background color, color
 clamped to [0,1].  The reference loops batch×view over `gsplat.rasterization`;
-here one call to the Pallas rasterizer handles all views and `vmap` handles
-batch.
+here one call to the Pallas rasterizer handles all views and an unrolled
+loop handles batch (B=1 everywhere this runs).
 """
 
 from __future__ import annotations
@@ -49,7 +49,15 @@ def render(gaussians: Gaussians, extrinsics_c2w: jnp.ndarray,
             radius_clip=0.1, pair_budget=pair_budget)
         return jnp.clip(rgb, 0.0, 1.0).transpose(0, 3, 1, 2), dep, alp
 
-    color, depth, alpha = jax.vmap(one_scene)(
-        gaussians.means, gaussians.covariances, gaussians.harmonics,
-        gaussians.opacities, extrinsics_c2w, intrinsics_norm)
+    # unrolled scene loop, NOT vmap: the rasterizer's Pallas composite is
+    # wrapped in a shard_map for multi-chip lowering
+    # (`kernels/partitioning.py`), which has no vmap batching rule; B is 1
+    # everywhere this runs (reward step, NVS eval, orbit export) and the
+    # reference loops batch×view serially anyway
+    # (`decoder_splatting_cuda.py:87-111`).
+    outs = [one_scene(gaussians.means[b], gaussians.covariances[b],
+                      gaussians.harmonics[b], gaussians.opacities[b],
+                      extrinsics_c2w[b], intrinsics_norm[b])
+            for b in range(extrinsics_c2w.shape[0])]
+    color, depth, alpha = (jnp.stack(x) for x in zip(*outs))
     return DecoderOutput(color, depth, alpha)

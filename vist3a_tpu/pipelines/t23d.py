@@ -130,6 +130,12 @@ def denoise(dit_params, cond, uncond, cfg: T23DConfig,
 
         latents0, cond, uncond = mesh_mod.replicate(
             mesh, (latents0, cond, uncond))
+        # trace under the mesh context: the Pallas kernels' shard_map
+        # wrappers pick the ambient mesh up at trace time
+        # (`kernels/partitioning.py`) — without it a multi-chip TPU
+        # lowering of the flash-attention custom call fails
+        with mesh:
+            return _denoise_jit(cfg)(dit_params, latents0, cond, uncond)
     return _denoise_jit(cfg)(dit_params, latents0, cond, uncond)
 
 
