@@ -168,8 +168,10 @@ def add_mesh_args(parser, *, dit: bool = False,
     if dit:
         g.add_argument("--dit_sharding", type=str,
                        default=default_dit_sharding,
-                       choices=["fsdp", "tp", "replicated"],
-                       help="DiT parameter placement over the mesh")
+                       choices=["fsdp", "tp", "tp_fsdp", "replicated"],
+                       help="DiT parameter placement over the mesh "
+                            "(tp_fsdp: TP over 'model' + FSDP storage over "
+                            "'data' — the 14B training placement)")
     return parser
 
 

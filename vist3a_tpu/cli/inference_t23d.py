@@ -65,11 +65,11 @@ def main(args):
     with open(args.input_texts_path) as f:
         prompts = [line.strip() for line in f if line.strip()]
 
-    from vist3a_tpu.nn.wan_dit import WAN_1_3B, WAN_14B
+    from vist3a_tpu.nn.wan_dit import config_from_model_id
 
     # `--model_id` picks the DiT scale (`inference_t23d.py:55` loads the
     # named Diffusers pipeline); 14B only runs TP-sharded (28 GB bf16)
-    dit_cfg = WAN_14B if "14B" in str(args.model_id) else WAN_1_3B
+    dit_cfg = config_from_model_id(args.model_id)
     cfg = t23d.T23DConfig(
         num_frames=args.num_frames, flow_shift=args.flow_shift,
         guidance_scale=float(str(args.cfg_scale).split(",")[0]),

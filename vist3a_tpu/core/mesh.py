@@ -149,11 +149,62 @@ def shard_params(params, shardings):
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 
+def pin(x, spec: P = P()):
+    """`with_sharding_constraint(x, spec)` that no-ops without an ambient
+    mesh, so the same model code serves single-device and mesh runs.
+
+    Used to pin small fp32 side tensors (adaLN modulation, head mods) to a
+    fixed layout inside remat'd scans — without the pin GSPMD flips them
+    between layouts across the forward/backward and falls back to
+    "Involuntary full rematerialization" (replicate-then-repartition) on
+    every layer of the backward."""
+    try:  # ambient-mesh detection: thread_resources is the stable internal
+        from jax._src import mesh as _mesh_lib
+        active = not _mesh_lib.thread_resources.env.physical_mesh.empty
+        if not active:
+            am = jax.sharding.get_abstract_mesh()
+            active = am is not None and not am.empty
+    except Exception:
+        active = False
+    if not active:
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
+
+
+def tp_fsdp_shardings(dit_cfg, params, mesh: Mesh, *, min_size: int = 2 ** 18):
+    """Composed placement for 14B TRAINING: TP specs over "model"
+    (`wan_dit.param_shardings`) PLUS FSDP storage sharding of the largest
+    still-free divisible dim over "data" for every big leaf.  This is the
+    only placement under which a 14B reward-tuning step fits a v5e pod
+    slice: TP bounds the per-chip activation/compute width, the data-axis
+    shard bounds resident parameter bytes (ZeRO-3), and XLA all-gathers
+    each layer's weights over "data" on use exactly like the reference's
+    FSDP2 wrap (`train_vdm.py:296-310`)."""
+    from vist3a_tpu.nn import wan_dit
+
+    tp_specs = wan_dit.param_shardings(dit_cfg)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def compose(x, sp):
+        parts = list(sp) + [None] * (x.ndim - len(sp))
+        if x.ndim == 0 or x.size < min_size:
+            return NamedSharding(mesh, sp)
+        for d in sorted(range(x.ndim), key=lambda d: -x.shape[d]):
+            if parts[d] is None and x.shape[d] % n_data == 0:
+                parts[d] = DATA_AXIS
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, sp)
+
+    return jax.tree_util.tree_map(compose, params, tp_specs)
+
+
 def place_dit(dit, dit_cfg, mesh: Mesh, how: str):
     """DiT parameter placement over the mesh: "fsdp" (ZeRO-3 analogue of
     the reference's FSDP2 wrap, `train_vdm.py:296-310`), "tp"
     (`wan_dit.param_shardings` over "model" — REQUIRED for 14B inference:
-    28 GB of bf16 params does not fit one 16 GB chip), or "replicated"."""
+    28 GB of bf16 params does not fit one 16 GB chip), "tp_fsdp" (TP over
+    "model" composed with FSDP storage over "data" — the 14B TRAINING
+    placement), or "replicated"."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from vist3a_tpu.nn import wan_dit
@@ -165,6 +216,8 @@ def place_dit(dit, dit_cfg, mesh: Mesh, how: str):
         return jax.tree_util.tree_map(
             lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
             dit, specs, is_leaf=lambda x: isinstance(x, type(P())))
+    if how == "tp_fsdp":
+        return shard_params(dit, tp_fsdp_shardings(dit_cfg, dit, mesh))
     if how == "replicated":
         return replicate(mesh, dit)
     raise ValueError(f"unknown dit_sharding {how!r}")

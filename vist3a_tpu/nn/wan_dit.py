@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vist3a_tpu.core import mesh as mesh_mod
 from vist3a_tpu.ops.attention import dot_product_attention
 
 
@@ -63,6 +64,13 @@ class WanDiTConfig:
 
 WAN_1_3B = WanDiTConfig()
 WAN_14B = WanDiTConfig(dim=5120, ffn_dim=13824, num_layers=40, num_heads=40)
+
+
+def config_from_model_id(model_id: str) -> WanDiTConfig:
+    """`--model_id` → DiT scale, shared by the inference AND training CLIs
+    (the reference selects the Diffusers pipeline by the same flag,
+    `utils/argument.py:400`, `inference_t23d.py:55`, `train_vdm.py:323`)."""
+    return WAN_14B if "14B" in str(model_id) else WAN_1_3B
 
 
 # --------------------------------------------------------------------------- #
@@ -254,8 +262,8 @@ def _attention(p, x, context, cfg: WanDiTConfig, rope=None):
 def block_apply(p, x, text, temb6, cfg: WanDiTConfig, rope):
     """x (B,N,D), text (B,L,D), temb6 (B,6,D) fp32 — diffusers
     WanTransformerBlock.forward order, fp32 residual accumulation."""
-    mods = (p["scale_shift_table"].astype(jnp.float32)[None]
-            + temb6)                                   # (B,6,D) fp32
+    mods = mesh_mod.pin(p["scale_shift_table"].astype(jnp.float32)[None]
+                        + temb6)                       # (B,6,D) fp32
     sh_msa, sc_msa, g_msa, sh_mlp, sc_mlp, g_mlp = [
         mods[:, i][:, None] for i in range(6)]
 
@@ -305,7 +313,11 @@ def forward(params, latent, timestep, text_embeds,
                                        te.astype(jnp.float32))))
     temb6 = _linear(params["time_proj"],
                     jax.nn.silu(temb)).reshape(b, 6, cfg.dim)
-    temb6 = temb6.astype(jnp.float32)
+    # pin the tiny fp32 adaLN tensor to a fixed (replicated) layout: without
+    # it GSPMD flips it between layouts across the remat'd scan fwd/bwd and
+    # falls back to "Involuntary full rematerialization" per layer
+    temb6 = mesh_mod.pin(temb6.astype(jnp.float32))
+    temb = mesh_mod.pin(temb)
     text = _linear(params["text_embedder"]["fc2"],
                    jax.nn.gelu(_linear(params["text_embedder"]["fc1"],
                                        text_embeds.astype(x.dtype)),
@@ -322,8 +334,8 @@ def forward(params, latent, timestep, text_embeds,
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     # head: 2-chunk modulation by the UNPROJECTED time embedding
-    mods = (params["scale_shift_table"].astype(jnp.float32)[None]
-            + temb.astype(jnp.float32)[:, None])
+    mods = mesh_mod.pin(params["scale_shift_table"].astype(jnp.float32)[None]
+                        + temb.astype(jnp.float32)[:, None])
     shift, scale = mods[:, 0][:, None], mods[:, 1][:, None]
     x = (_fp32_ln(x, cfg.eps) * (1 + scale) + shift).astype(x.dtype)
     x = _linear(params["proj_out"], x)
