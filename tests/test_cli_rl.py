@@ -277,3 +277,37 @@ def test_run_resume_restores_stream_position():
                 cfg=vdm.VDMTrainConfig(enable_rl=False), num_steps=7)
     assert calls == {"text_epoch": 2, "text_skip": 1,
                      "video_epoch": 1, "video_skip": 2}
+
+
+def test_run_resume_warns_on_sized_less_loader():
+    """Resuming with a loader that has no __len__ cannot restore the data
+    stream (`train_vdm.py:465-496`) — `run` must WARN instead of silently
+    replaying data from the start."""
+    import warnings
+
+    class _NoLen:
+        def __iter__(self):
+            return iter([])
+
+    state = vdm.VDMTrainState(jnp.asarray(7), None, None, None)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cli_vdm.run(state, None, None, None,
+                    text_loader=_NoLen(), video_loader=_NoLen(),
+                    embed_text=None, reward_loss_fn=None,
+                    dit_cfg=None, vae_cfg=None, scfg=None,
+                    cfg=vdm.VDMTrainConfig(enable_rl=False), num_steps=7)
+    msgs = [str(x.message) for x in w]
+    assert any("text loader has no __len__" in m for m in msgs), msgs
+    assert any("video loader has no __len__" in m for m in msgs), msgs
+
+    # a FRESH run (step 0) with sized-less loaders stays silent
+    state0 = vdm.VDMTrainState(jnp.asarray(0), None, None, None)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cli_vdm.run(state0, None, None, None,
+                    text_loader=_NoLen(), video_loader=_NoLen(),
+                    embed_text=None, reward_loss_fn=None,
+                    dit_cfg=None, vae_cfg=None, scfg=None,
+                    cfg=vdm.VDMTrainConfig(enable_rl=False), num_steps=0)
+    assert not [x for x in w if "no __len__" in str(x.message)]

@@ -26,6 +26,21 @@ from vist3a_tpu.train import stitching as st
 from vist3a_tpu.train import vdm
 
 
+@pytest.fixture(autouse=True)
+def _bounded_compiler_working_set():
+    """Drop all jit caches before EVERY test in this module.
+
+    The mesh tests are the largest CPU compiles in the suite; with ~100
+    tests' executables accumulated, XLA:CPU has segfaulted inside
+    backend_compile at these compiles (three sightings, two different
+    tests — passes standalone every time).  Emptying the caches before
+    each big mesh compile keeps the compiler's working set bounded; this
+    is the suite-wide policy for any test whose compile is mesh-sized."""
+    jax.clear_caches()
+    vdm._vdm_step_jit.cache_clear()
+    yield
+
+
 def _stitch_setup():
     scfg = ca.StitchedConfig(encoder=tiny_encoder_cfg(),
                              stitch_layer_index=2,
@@ -99,15 +114,8 @@ def _embed_text(prompts):
     return jnp.stack(out)
 
 
-@pytest.mark.parametrize("how", ["fsdp", "tp", "replicated"])
+@pytest.mark.parametrize("how", ["fsdp", "tp", "tp_fsdp", "replicated"])
 def test_train_vdm_run_on_mesh_matches_single_device(how):
-    # The VDM step is the largest CPU compile in the suite; after ~80 prior
-    # tests the accumulated executables have twice segfaulted XLA:CPU inside
-    # backend_compile (same stack both times, passes standalone).  Dropping
-    # the jit caches before the big compile keeps the compiler's working set
-    # bounded.
-    jax.clear_caches()
-    vdm._vdm_step_jit.cache_clear()
     scfg = ca.StitchedConfig(encoder=tiny_encoder_cfg(),
                              stitch_layer_index=2,
                              conv_spec="conv3d_k5x3x3_o32_s1x2x2_p2x1x1",
@@ -142,6 +150,70 @@ def test_train_vdm_run_on_mesh_matches_single_device(how):
                                                  rel=1e-4)
 
 
+@pytest.mark.slow
+def test_train_vdm_rl_on_mesh_matches_single_device():
+    """`enable_rl=True` ON THE MESH — the reference flagship mode's only
+    real deployment shape (FSDP2 on 4×GH200, `train_vdm.py:296-310`; the
+    deployed RL step measures 58.7 GB HBM ⇒ ≥4 v5e chips, PARITY.md).
+    Composes the truncated-rollout scan + VAE decode + stitched decode +
+    Pallas rasterizer + CLIP reward towers with the FSDP-placed DiT,
+    driven through `cli.train_vdm.run` so the CLI's explicit placement of
+    `loss_fn.reward_params` and the per-prompt text features is what's
+    under test.  Must equal the single-device RL step."""
+    from vist3a_tpu.nn import clip as clip_mod
+    from vist3a_tpu.train import reward as reward_mod
+
+    tiny_vis = clip_mod.CLIPVisionConfig(hidden_size=32, num_layers=2,
+                                         num_heads=4, mlp_dim=64,
+                                         patch_size=8, image_size=32,
+                                         projection_dim=16, act="gelu")
+    rcfg = reward_mod.RewardConfig(pick_cfg=tiny_vis, pe_cfg=tiny_vis)
+    pick = clip_mod.init(jax.random.key(10), tiny_vis)
+    pe = clip_mod.init(jax.random.key(11), tiny_vis)
+    loss_fn = reward_mod.make_loss_fn(pick, pe, logit_scale=30.0, cfg=rcfg)
+    txt = jax.random.normal(jax.random.key(12), (1, 16))
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+
+    def reward_text_fn(prompt):
+        return (txt, txt)
+
+    scfg = ca.StitchedConfig(encoder=tiny_encoder_cfg(),
+                             stitch_layer_index=2,
+                             conv_spec="conv3d_k5x3x3_o32_s1x2x2_p2x1x1",
+                             vae=VAE)
+    stitched = {
+        "encoder": enc_mod.init(jax.random.key(2), scfg.encoder),
+        "stitch_conv": ca.init_stitch_conv(jax.random.key(3), scfg),
+    }
+    vae = wan_vae.init(jax.random.key(1), VAE)
+    dit = wan_dit.init(jax.random.key(0), DIT)
+    cfg = vdm.VDMTrainConfig(enable_rl=True, rollout_steps_low=3,
+                             rollout_steps_high=3)
+    mesh = mesh_mod.create_mesh(mesh_mod.MeshConfig(data=4, model=2))
+
+    def one_run(dit_arg, mesh_arg):
+        state = vdm.init_train_state(jax.random.key(4), dit, cfg)
+        _, hist = train_vdm.run(
+            state, dit_arg, vae, stitched,
+            text_loader=FakeTextLoader(1), video_loader=FakeVideoLoader(1),
+            embed_text=_embed_text, reward_loss_fn=loss_fn,
+            reward_text_fn=reward_text_fn,
+            dit_cfg=DIT, vae_cfg=VAE, scfg=scfg, cfg=cfg, num_steps=1,
+            key=jax.random.key(5), latent_shape=(1, 16, 2, 8, 8),
+            render_size=56, mesh=mesh_arg)
+        return hist
+
+    hist_single = one_run(dit, None)
+    dit_fsdp = train_vdm.place_dit(dit, DIT, mesh, "fsdp")
+    hist_mesh = one_run(dit_fsdp, mesh)
+    assert len(hist_mesh) == len(hist_single) == 1
+    hm, hs = hist_mesh[0], hist_single[0]
+    assert np.isfinite(hm["total_loss"])
+    assert hm["reward_loss"] != 0.0
+    assert hm["total_loss"] == pytest.approx(hs["total_loss"], rel=1e-4)
+    assert hm["reward_loss"] == pytest.approx(hs["reward_loss"], rel=1e-4)
+
+
 def test_cli_mesh_args_present():
     from vist3a_tpu.cli.arguments import (stitching_training_argument,
                                           training_vdm_argument)
@@ -153,6 +225,43 @@ def test_cli_mesh_args_present():
     v = training_vdm_argument().parse_args(
         ["--dataset", "dl3dv:/tmp", "--dit_sharding", "tp"])
     assert v.dit_sharding == "tp" and v.mesh_data == -1
+
+
+def test_model_id_selects_14b():
+    """`--model_id` picks the DiT scale in the TRAINING CLI too (reference
+    `utils/argument.py:400`; the published VIST3A-14B rows come from
+    reward-tuning the 14B)."""
+    from vist3a_tpu.cli.arguments import training_vdm_argument
+    from vist3a_tpu.nn.wan_dit import (WAN_1_3B, WAN_14B,
+                                       config_from_model_id)
+
+    assert config_from_model_id("Wan-AI/Wan2.1-T2V-14B-Diffusers") is WAN_14B
+    assert config_from_model_id(
+        "Wan-AI/Wan2.1-T2V-1.3B-Diffusers") is WAN_1_3B
+    v = training_vdm_argument().parse_args(
+        ["--dataset", "dl3dv:/tmp",
+         "--model_id", "Wan-AI/Wan2.1-T2V-14B-Diffusers",
+         "--dit_sharding", "tp_fsdp"])
+    assert config_from_model_id(v.model_id) is WAN_14B
+    assert v.dit_sharding == "tp_fsdp"
+
+
+def test_tp_fsdp_shardings_compose():
+    """The 14B training placement: TP over "model" AND FSDP storage over
+    "data" on the same leaf (grads/optimizer sharded over "data" fall out
+    of GSPMD once params are)."""
+    dit = wan_dit.init(jax.random.key(0), DIT)
+    mesh = mesh_mod.create_mesh(mesh_mod.MeshConfig(data=4, model=2))
+    sh = mesh_mod.tp_fsdp_shardings(DIT, dit, mesh, min_size=16)
+    fc1 = sh["blocks"]["ffn"]["fc1"]["w"].spec   # TP shards the output dim
+    axes = [a for a in fc1 if a is not None]
+    assert "model" in axes and "data" in axes, fc1
+    q = sh["blocks"]["attn1"]["q"]["w"].spec
+    assert "model" in q and "data" in q, q
+    # replicated-by-TP small leaves stay replicated (min_size guard)
+    real = mesh_mod.tp_fsdp_shardings(wan_dit.WAN_14B, dit, mesh)
+    assert all(a is None
+               for a in real["blocks"]["attn1"]["norm_q"].spec)
 
 
 def test_local_batch_size():

@@ -49,20 +49,36 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
         state = mesh_mod.replicate(mesh, state)
         vae_params = mesh_mod.replicate(mesh, vae_params)
         stitched_params = mesh_mod.replicate(mesh, stitched_params)
+        # the frozen scorer towers ride the RL step as traced args
+        # (loss_fn.reward_params, `train/vdm.py`) — place them explicitly
+        # like vae/stitched above, instead of leaving their mesh placement
+        # to an implicit transfer at dispatch time
+        if getattr(reward_loss_fn, "reward_params", None):
+            reward_loss_fn.reward_params = mesh_mod.replicate(
+                mesh, reward_loss_fn.reward_params)
     mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
     history = []
     step = int(state.step)
     # data-stream resume (`train_vdm.py:465-496`): on resume at step N both
     # loaders skip N mod len mid-epoch batches and restore the epoch counter
     # that seeds their samplers — state AND stream position resume together
-    def _length(loader):
+    def _length(loader, name):
         try:                      # sized loaders only; step-count fakes pass
             return max(len(loader), 1)
         except TypeError:
+            if step:              # resuming: the stream CANNOT be restored
+                import warnings
+                warnings.warn(
+                    f"resuming at step {step} but the {name} loader has no "
+                    f"__len__ — the epoch counter and skip_first_batches "
+                    f"cannot be restored, so the run will REPLAY data from "
+                    f"the start of the stream (`train_vdm.py:465-496`); "
+                    f"give the loader a __len__ to resume the stream",
+                    stacklevel=3)
             return 0
 
-    text_len = _length(text_loader)
-    video_len = _length(video_loader)
+    text_len = _length(text_loader, "text")
+    video_len = _length(video_loader, "video")
     text_epoch, skip_text = divmod(step, text_len) if text_len else (0, 0)
     video_epoch, skip_video = divmod(step, video_len) if video_len else (0, 0)
     for loader, epoch, skip in ((text_loader, text_epoch, skip_text),
@@ -101,6 +117,8 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
                     mesh, (video, sft_text))
                 rl_cond, rl_uncond = mesh_mod.replicate(
                     mesh, (rl_cond, rl_uncond))
+                if reward_text is not None:
+                    reward_text = mesh_mod.replicate(mesh, reward_text)
             # every-10-step decoded-vs-rendered grid (`train_vdm.py:665-688`;
             # step%10==0 also forces the max rollout length, so this never
             # adds a jit variant beyond the one image-emitting program)
@@ -270,10 +288,15 @@ def main(args):
     if args.enable_rl:
         reward_loss_fn, reward_text_fn = build_reward_fns(root)
 
+    # `--model_id` picks the DiT scale exactly like `cli/inference_t23d.py`
+    # (reference: `utils/argument.py:400` → `train_vdm.py:323-343`; the
+    # published VIST3A-14B rows come from reward-tuning the 14B)
+    dit_cfg = wan_dit.config_from_model_id(args.model_id)
+
     # mesh: the reference's accelerate FSDP2 world (`train_vdm.py:296-310`)
     mesh = mesh_mod.mesh_from_args(args)
     args.batch_size = mesh_mod.local_batch_size(args.batch_size, mesh)
-    dit = place_dit(dit, wan_dit.WAN_1_3B, mesh, args.dit_sharding)
+    dit = place_dit(dit, dit_cfg, mesh, args.dit_sharding)
 
     datasets = [(n, str(p)) for n, p in args.dataset]
     if args.text_dataset_path:
@@ -289,7 +312,7 @@ def main(args):
     run(state, dit, stitched["vae"], stitched, text_loader=text_loader,
         video_loader=video_loader, embed_text=embed_text,
         reward_loss_fn=reward_loss_fn, reward_text_fn=reward_text_fn,
-        dit_cfg=wan_dit.WAN_1_3B,
+        dit_cfg=dit_cfg,
         vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
         num_steps=args.num_epochs * len(video_loader),
         save_path=args.save_path, save_freq=args.save_freq,
