@@ -92,6 +92,22 @@ def _time(fn, params, latent, images, iters: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def _flops(fn, params, latent, images) -> float:
+    """Total program FLOPs from XLA's compile-time cost analysis (the same
+    executable the timing ran — jit caching dedupes the compile)."""
+    try:
+        ca = fn.lower(params, latent, images).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+# v5e peak: 197 bf16 TFLOP/s per chip (394 int8 TOPS / 2)
+V5E_PEAK_FLOPS = 197e12
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     fast_impl = "pallas" if on_tpu else "xla"
@@ -100,6 +116,12 @@ def main():
     params, latent, images = _inputs()
     fn = _build(fast_impl)
     fast = max(_time(fn, params, latent, images) - rtt, 1e-9)
+    # MFU anchor: XLA's flop count EXCLUDES custom-call (Pallas) flops, so
+    # add the analytic attention-core flops (the kernels replace exactly
+    # that XLA work); peak = v5e bf16.  Keeps the perf claim anchored to
+    # hardware, not only to the self-referential vs_baseline.
+    flops = _flops(fn, params, latent, images) + _attention_flops()
+    mfu = flops / fast / V5E_PEAK_FLOPS if on_tpu and flops else 0.0
 
     if on_tpu:
         del fn
@@ -114,7 +136,17 @@ def main():
         "unit": "ms (1x16x4x64x64 latent -> 13-view 448p Gaussians, "
                 "vs_baseline = xla-attention speedup on same chip)",
         "vs_baseline": round(slow / fast, 3),
+        "mfu": round(mfu, 4),
     }))
+
+
+def _attention_flops() -> float:
+    """Analytic QK+PV flops of the Pallas flash-attention calls in the
+    decode (24 global + 24 frame layers, N_g = 13·(1024+5) ≈ 13377,
+    N_f = 1029, H=16, D=64): 4·N²·H·D per layer."""
+    n_g, n_f, h, d, layers = 13 * 1029, 1029, 16, 64, 24
+    per = lambda n: 4.0 * n * n * h * d  # noqa: E731
+    return layers * per(n_g) + layers * 13 * per(n_f)
 
 
 if __name__ == "__main__":
