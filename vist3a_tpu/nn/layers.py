@@ -82,10 +82,18 @@ _GELU_BF16 = "tanh"
 
 
 def set_bf16_gelu(mode: str) -> None:
-    """'tanh' (default, fast) or 'exact' — GELU form for bf16 activations."""
+    """'tanh' (default, fast) or 'exact' — GELU form for bf16 activations.
+
+    The mode is read at TRACE time and is NOT part of any jit cache key:
+    executables compiled before a mode change keep the old GELU form.  Set
+    it before the first trace; to make a change take effect on already-
+    compiled functions, the caches are dropped here when the mode actually
+    changes (cheap at setup time, wrong-answer-preventing after)."""
     global _GELU_BF16
     assert mode in ("tanh", "exact"), mode
-    _GELU_BF16 = mode
+    if mode != _GELU_BF16:
+        _GELU_BF16 = mode
+        jax.clear_caches()
 
 
 def gelu(x):
