@@ -181,3 +181,35 @@ def test_non_tile_multiple_size(rng, w, h):
     n_rgb, _, _ = naive_rasterize_view(means, covars, colors, opacities,
                                        viewmat, K, w, h, bg)
     np.testing.assert_allclose(rgb[0], n_rgb, atol=5e-5, rtol=1e-4)
+
+
+def test_gather_transpose_matches_scatter(rng):
+    """The sort/prefix-sum backward of `_gather_pair_rows` must equal the
+    scatter-add transpose THROUGH real build_pairs outputs — including its
+    bounds invariant (per-gid surviving-pair prefix = min(offsets, p1)),
+    under tight budgets (farthest-first drops) and culled gaussians."""
+    for seed, budget in [(0, 4096), (1, 256), (2, 640)]:
+        r = np.random.default_rng(seed)
+        means, covars, harmonics, opacities, viewmat, K, W, H, bg = \
+            make_scene(np.random.default_rng(100 + seed), g=40)
+        proj = ras.project_gaussians(means, covars, viewmat, K, W, H)
+        ntx, nty = -(-W // ras.TILE), -(-H // ras.TILE)
+        op = jnp.where(proj.valid, opacities, 0.0)
+        gid, *_rest, bounds = ras.build_pairs(
+            proj, ntx, nty, budget, extra_valid=op >= ras.ALPHA_MIN)
+        g = means.shape[0]
+        table = jnp.asarray(r.normal(size=(g, 10)).astype(np.float32))
+        drows = jnp.asarray(
+            r.normal(size=(gid.shape[0], 10)).astype(np.float32))
+
+        def via_custom(t):
+            return jnp.sum(ras._gather_pair_rows(t, gid, bounds) * drows)
+
+        def via_scatter(t):
+            ok = (gid >= 0).astype(t.dtype)
+            return jnp.sum(t[jnp.clip(gid, 0, g - 1)] * ok[:, None] * drows)
+
+        g1 = np.asarray(jax.grad(via_custom)(table))
+        g2 = np.asarray(jax.grad(via_scatter)(table))
+        np.testing.assert_allclose(g1, g2, atol=2e-4, rtol=1e-4,
+                                   err_msg=f"seed={seed} budget={budget}")

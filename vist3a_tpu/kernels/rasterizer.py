@@ -337,7 +337,16 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     nxt = jnp.concatenate([chunk_tile[1:], jnp.full((1,), -2, jnp.int32)])
     chunk_first = (chunk_tile != prev).astype(jnp.int32)
     chunk_last = (chunk_tile != nxt).astype(jnp.int32)
-    return gid_final, chunk_tile, chunk_first, chunk_last, order
+    # Per-gid segment bounds of the backward's gid-sorted pair stream, free
+    # from the forward's structure: gaussian i (in gid-value space) emits
+    # slots [offsets[i], offsets[i+1]) and the budget truncates the slot
+    # space at p1, so its SURVIVING pair count is
+    # min(offsets[i+1],p1) − min(offsets[i],p1) and the prefix telescopes to
+    # bounds_bwd = min(offsets, p1).  Replaces a searchsorted over G+1
+    # queries in the gather transpose (measured 424 ms at 10.4M pairs on
+    # v5e — XLA lowers it to a 24-deep gather loop) with G-sized arithmetic.
+    bounds_bwd = jnp.minimum(offsets, p1)
+    return gid_final, chunk_tile, chunk_first, chunk_last, order, bounds_bwd
 
 
 def _cdiv_arr(x):
@@ -601,6 +610,78 @@ _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
 # --------------------------------------------------------------------------- #
+# 3b. attrs gather with a sort/segment-sum transpose                          #
+# --------------------------------------------------------------------------- #
+@jax.custom_vjp
+def _gather_pair_rows(table, gid, bounds):
+    """rows[p] = table[gid[p]] (0 where gid < 0) — the P-sized attribute
+    gather feeding the composite kernel.
+
+    `bounds` (G+1, int32, nondiff) is build_pairs' per-gid surviving-pair
+    prefix: exactly the segment bounds of the pair stream re-sorted by gid.
+
+    The autodiff transpose of this gather is a P→G scatter-add, which
+    serializes on TPU (measured 1066 ms at 10.4M pairs × 40B rows on v5e).
+    The custom backward reduces per-gid segments instead, carrying the 10
+    gradient columns THROUGH the sort as payload operands — P-sized row
+    gathers cost ~423 ms on v5e regardless of index locality, while the
+    10-payload sort is ~136 ms — then one (P,10) prefix sum (15 ms) and
+    ONE (G+1)-row gather at `bounds` with an adjacent diff.  Computing
+    bounds in here via searchsorted would cost 424 ms (a 24-deep gather
+    loop); build_pairs provides them as G-sized arithmetic instead.
+    Padding slots carry key G and sort past `bounds[G]`, so they never
+    contribute.
+    Precision: the prefix-sum/diff form trades the scatter's exact
+    per-element adds for fp32 prefix cancellation — measured 1.8e-4 max
+    abs error vs an fp64 reference at 400k random pairs (scatter: 2.2e-6),
+    i.e. ~1e-4 relative to the global gradient scale; well under training
+    noise (the bf16 trunk injects ~1e-3), and the small-scale
+    gradient-parity test vs the naive rasterizer is unaffected.
+    """
+    g = table.shape[0]
+    ok = (gid >= 0).astype(table.dtype)
+    return table[jnp.clip(gid, 0, g - 1)] * ok[:, None]
+
+
+def _gather_pair_rows_fwd(table, gid, bounds):
+    return _gather_pair_rows(table, gid, bounds), (gid, bounds,
+                                                   table.shape[0])
+
+
+def _gather_pair_rows_bwd(res, drows):
+    gid, bounds, g = res
+    ncol = drows.shape[1]
+    key = jnp.where(gid >= 0, gid, g)
+    sorted_ops = jax.lax.sort(
+        (key,) + tuple(drows[:, i] for i in range(ncol)), num_keys=1)
+    d_s = jnp.stack(sorted_ops[1:], axis=1)              # (P2, ncol)
+    cs0 = jnp.concatenate(
+        [jnp.zeros((1, ncol), d_s.dtype), jnp.cumsum(d_s, axis=0)], axis=0)
+    seg = cs0[bounds]                                    # (G+1, ncol)
+    return seg[1:] - seg[:-1], None, None
+
+
+_gather_pair_rows.defvjp(_gather_pair_rows_fwd, _gather_pair_rows_bwd)
+
+
+@jax.custom_vjp
+def _permute_rows(rows, order):
+    """rows[order] with a gather (not scatter) transpose via argsort."""
+    return rows[order]
+
+
+def _permute_rows_fwd(rows, order):
+    return rows[order], order
+
+
+def _permute_rows_bwd(order, d):
+    return d[jnp.argsort(order)], None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+# --------------------------------------------------------------------------- #
 # 4. public entry                                                             #
 # --------------------------------------------------------------------------- #
 def _rasterize_view(means, covars, colors, opacities, viewmat, K,
@@ -631,13 +712,13 @@ def _rasterize_view(means, covars, colors, opacities, viewmat, K,
     # for ANY σ when op < ALPHA_MIN, and such gaussians receive exactly zero
     # gradients there — dropping their pairs is a pure win (the encoder's
     # conf-mask zeros ~10% of opacities; post-opt scenes far more).
-    gid, c_tile, c_first, c_last, order = build_pairs(
+    gid, c_tile, c_first, c_last, order, bounds_bwd = build_pairs(
         proj, ntx, nty, pair_budget, extra_valid=op >= ALPHA_MIN)
-    table = attrs_rows if order is None else attrs_rows[order]
+    table = attrs_rows if order is None else _permute_rows(attrs_rows, order)
     pair_ok = (gid >= 0).astype(jnp.float32)
     p2 = gid.shape[0]
-    rows = (table[jnp.clip(gid, 0, g - 1)]
-            * pair_ok[:, None]).T                        # (10, P2)
+    rows = _gather_pair_rows(table, gid,
+                             jax.lax.stop_gradient(bounds_bwd)).T  # (10, P2)
     attrs_s = jnp.concatenate(
         [rows, pair_ok[None],
          jnp.zeros((ATTR_ROWS - 11, p2), jnp.float32)], axis=0)  # (16, P2)
