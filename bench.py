@@ -41,7 +41,7 @@ def _inputs():
     return params, latent, images
 
 
-def _build(attn_impl: str):
+def _config(attn_impl: str):
     from vist3a_tpu.stitch import chopped_anysplat as ca
 
     base = ca.StitchedConfig()
@@ -49,8 +49,15 @@ def _build(attn_impl: str):
         base.encoder,
         vit=dataclasses.replace(base.encoder.vit, attn_impl=attn_impl),
         agg=dataclasses.replace(base.encoder.agg, attn_impl=attn_impl),
+        head_dtype="bfloat16",   # the t23d inference decode setting
     )
-    cfg = dataclasses.replace(base, encoder=ecfg)
+    return dataclasses.replace(base, encoder=ecfg)
+
+
+def _build(attn_impl: str):
+    from vist3a_tpu.stitch import chopped_anysplat as ca
+
+    cfg = _config(attn_impl)
 
     @jax.jit
     def fn(params, latent, images):
@@ -92,16 +99,72 @@ def _time(fn, params, latent, images, iters: int = 5) -> float:
     return (time.perf_counter() - t0) / iters
 
 
-def _flops(fn, params, latent, images) -> float:
-    """Total program FLOPs from XLA's compile-time cost analysis (the same
-    executable the timing ran — jit caching dedupes the compile)."""
-    try:
-        ca = fn.lower(params, latent, images).compile().cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        return float(ca.get("flops", 0.0))
-    except Exception:
-        return 0.0
+def _flops(cfg) -> float:
+    """Analytic model FLOPs of the decode (matmuls, attention cores, convs,
+    resize contractions — the MFU convention).  XLA's `cost_analysis` is NOT
+    usable here: it counts a `lax.scan` body ONCE, not ×trip-count (measured:
+    a 24-step scanned matmul reports 1 body), and the 56-block trunk lives
+    inside scans — it under-reported this program's flops ~3×.
+    Validated against XLA's count on scan-free subprograms
+    (`tests/test_bench_flops.py`)."""
+    e = cfg.encoder
+    h = w = 448
+    s = 13
+    ph, pw = h // e.agg.patch_size, w // e.agg.patch_size
+    p = e.agg.patch_start_idx + ph * pw          # tokens per frame (1029)
+    c = e.agg.embed_dim
+
+    def block_matmul(n, dim, ratio):
+        # QKV 6ndim² + proj 2ndim² + MLP 2·2·ratio·ndim²
+        return (8.0 + 4.0 * ratio) * n * dim * dim
+
+    def attn_core(n, dim):
+        return 4.0 * n * n * dim                  # QK + AV, H·D = dim
+
+    vit_blocks = e.vit.depth - cfg.stitch_layer_index
+    pairs = e.agg.depth
+    trunk = (
+        (vit_blocks + 2 * pairs) * block_matmul(s * p, c, e.agg.mlp_ratio)
+        + (vit_blocks + pairs) * s * attn_core(p, c)   # frame-level attention
+        + pairs * attn_core(s * p, c)                  # global attention
+    )
+
+    spec = cfg.conv                              # stitch conv3d 16→1024
+    import numpy as _np
+    stitch = 2.0 * float(_np.prod(spec.kernel_shape(cfg.latent_channels))) \
+        * s * ph * pw
+
+    cam = e.camera.num_iterations * e.camera.trunk_depth * block_matmul(
+        s, e.camera.dim_in, e.camera.mlp_ratio)
+
+    heads = s * (_dpt_flops(e.depth, h, w) + _dpt_flops(e.gs, h, w,
+                                                        rgb_skip=True))
+    return trunk + stitch + cam + heads
+
+
+def _dpt_flops(cfg, h: int, w: int, *, rgb_skip: bool = False) -> float:
+    """Per-frame conv/resize FLOPs of one DPT head (`nn/heads.py` cascade)."""
+    ph, pw = h // cfg.patch_size, w // cfg.patch_size
+    g = ph * pw
+    f, oc, c2 = cfg.features, cfg.out_channels, cfg.features // 2
+    fl = sum(2.0 * cfg.dim_in * o * g for o in oc)              # projects 1×1
+    fl += 2.0 * 16 * oc[0] ** 2 * g                             # resize0 (T4×4)
+    fl += 2.0 * 4 * oc[1] ** 2 * g                              # resize1 (T2×2)
+    fl += 2.0 * 9 * oc[3] ** 2 * (g // 4)                       # resize3 (3×3 s2)
+    scales = (16 * g, 4 * g, g, g // 4)                         # layer_rn 3×3
+    fl += sum(2.0 * 9 * oc[i] * f * scales[i] for i in range(4))
+    # refinenet cascade: (res-unit convs at in-scale, out_conv at out-scale)
+    for n_res, s_in, s_out in ((2, g // 4, g), (4, g, 4 * g),
+                               (4, 4 * g, 16 * g), (4, 16 * g, 64 * g)):
+        fl += n_res * 2.0 * 9 * f * f * s_in + 2.0 * f * f * s_out
+    fl += 2.0 * 9 * f * c2 * 64 * g                             # output_conv1
+    # final resize (8ph,8pw)→(h,w): two interp-matrix contractions
+    fl += 2.0 * h * (8 * ph) * (8 * pw) * c2 + 2.0 * w * h * (8 * pw) * c2
+    if rgb_skip:
+        fl += 2.0 * 49 * 3 * c2 * h * w                         # input_merger
+    fl += 2.0 * 9 * c2 * cfg.head2_features * h * w             # output_conv2[0]
+    fl += 2.0 * cfg.head2_features * cfg.output_dim * h * w     # output_conv2[1]
+    return fl
 
 
 # v5e peak: 197 bf16 TFLOP/s per chip (394 int8 TOPS / 2)
@@ -116,12 +179,10 @@ def main():
     params, latent, images = _inputs()
     fn = _build(fast_impl)
     fast = max(_time(fn, params, latent, images) - rtt, 1e-9)
-    # MFU anchor: XLA's flop count EXCLUDES custom-call (Pallas) flops, so
-    # add the analytic attention-core flops (the kernels replace exactly
-    # that XLA work); peak = v5e bf16.  Keeps the perf claim anchored to
-    # hardware, not only to the self-referential vs_baseline.
-    flops = _flops(fn, params, latent, images) + _attention_flops()
-    mfu = flops / fast / V5E_PEAK_FLOPS if on_tpu and flops else 0.0
+    # MFU anchor: analytic model FLOPs (see `_flops`) over v5e bf16 peak —
+    # keeps the perf claim anchored to hardware, not only to the
+    # self-referential vs_baseline.
+    mfu = _flops(_config(fast_impl)) / fast / V5E_PEAK_FLOPS if on_tpu else 0.0
 
     if on_tpu:
         del fn
@@ -138,15 +199,6 @@ def main():
         "vs_baseline": round(slow / fast, 3),
         "mfu": round(mfu, 4),
     }))
-
-
-def _attention_flops() -> float:
-    """Analytic QK+PV flops of the Pallas flash-attention calls in the
-    decode (24 global + 24 frame layers, N_g = 13·(1024+5) ≈ 13377,
-    N_f = 1029, H=16, D=64): 4·N²·H·D per layer."""
-    n_g, n_f, h, d, layers = 13 * 1029, 1029, 16, 64, 24
-    per = lambda n: 4.0 * n * n * h * d  # noqa: E731
-    return layers * per(n_g) + layers * 13 * per(n_f)
 
 
 if __name__ == "__main__":

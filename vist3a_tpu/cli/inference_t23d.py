@@ -70,6 +70,14 @@ def main(args):
     # `--model_id` picks the DiT scale (`inference_t23d.py:55` loads the
     # named Diffusers pipeline); 14B only runs TP-sharded (28 GB bf16)
     dit_cfg = config_from_model_id(args.model_id)
+    # inference decode runs the DPT cascades in bf16 (the t23d default;
+    # `load_stitched_model`'s scfg keeps the fp32 training/eval setting) —
+    # measured deviation documented at `EncoderConfig.head_dtype`
+    import dataclasses
+
+    scfg = dataclasses.replace(
+        scfg, encoder=dataclasses.replace(scfg.encoder,
+                                          head_dtype="bfloat16"))
     cfg = t23d.T23DConfig(
         num_frames=args.num_frames, flow_shift=args.flow_shift,
         guidance_scale=float(str(args.cfg_scale).split(",")[0]),

@@ -74,6 +74,15 @@ class EncoderConfig:
     render_conf: bool = True
     conf_threshold: float = 0.1
     opacity_conf: bool = False
+    # DPT-cascade activation dtype.  "float32" reproduces the reference
+    # (`anysplat.py:421` runs heads fp32); "bfloat16" halves the HBM traffic
+    # of the 448²-resolution conv temporaries on the inference decode.  The
+    # MXU numerics are identical either way (fp32 convs already run as
+    # single-pass bf16 products, see `heads._P`); bf16 only adds 2^-8
+    # STORAGE rounding between ops.  Final activations (exp/quantile/
+    # assembly) always compute fp32.  Part of the (frozen, hashable) config,
+    # so it participates in every jit cache key.
+    head_dtype: str = "float32"
 
     @property
     def raw_gs_dim(self) -> int:
@@ -129,17 +138,24 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
                    remat: bool = False) -> EncoderOutput:
     """taps (4 × (B,S,P,2C)) + images (B,S,3,H,W) in [0,1] → EncoderOutput.
 
-    Heads run fp32 regardless of trunk dtype (`anysplat.py:421`,
-    `models/anysplat_stitched.py:335`).
+    Heads default to fp32 activations regardless of trunk dtype
+    (`anysplat.py:421`, `models/anysplat_stitched.py:335`); the DPT
+    cascades honor `cfg.head_dtype` (bf16 on the inference decode).  The
+    camera head, activations, quantile, and Gaussian assembly are always
+    fp32.
     """
     b, s, _, h, w = images01.shape
     psi = cfg.agg.patch_start_idx
-    taps = [t.astype(jnp.float32) for t in taps]
-    images01 = images01.astype(jnp.float32)
 
-    # camera: last tap, 4 refinement iterations
+    # camera: last tap (un-cast — the camera head computes fp32 internally),
+    # 4 refinement iterations
     pose_enc_list = camera_head_apply(params["camera_head"], taps[-1],
                                       cfg.camera)
+
+    # DPT cascades run at cfg.head_dtype (see its docstring)
+    hdt = jnp.dtype(cfg.head_dtype)
+    taps = [t.astype(hdt) for t in taps]
+    images01 = images01.astype(hdt)
     last_pose_enc = pose_enc_list[-1]
     extrinsic, intrinsic = pose_encoding_to_extri_intri(last_pose_enc, (h, w))
 

@@ -342,7 +342,11 @@ def _dpt_fused_features(params, taps, cfg: DPTConfig, patch_start_idx: int,
     outs = []
     for i, tap in enumerate(taps):
         n, p, c = tap.shape
-        x = tap.astype(jnp.float32)[:, patch_start_idx:]
+        # compute dtype follows the taps: callers pass fp32 for the
+        # reference-parity path (`anysplat.py:421`) or bf16 for the
+        # inference decode (EncoderConfig.head_dtype — measured deviation
+        # documented there); layer_norm below is internally fp32 either way
+        x = tap[:, patch_start_idx:]
         x = layer_norm(params["norm"], x)
         x = x.reshape(n, ph, pw, c)
         x = conv2d(params["projects"][i], x, channels_last=True)
@@ -420,8 +424,10 @@ def dpt_apply(params, taps, images_hw: tuple[int, int], patch_start_idx: int,
     for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size):
         chunks.append(frames_fn(params, [t[lo:hi] for t in taps_flat]))
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-    # activate (`heads/head_act.py:61-112`); out is already (BS, H, W, C)
-    fmap = out
+    # activate (`heads/head_act.py:61-112`); out is already (BS, H, W, C).
+    # exp/expm1 run fp32 regardless of the cascade dtype: a bf16 input to
+    # exp would turn the 2^-8 storage rounding into ~1% depth error
+    fmap = out.astype(jnp.float32)
     xyz, conf = fmap[..., :-1], fmap[..., -1]
     if cfg.activation == "exp":
         preds = jnp.exp(xyz)
@@ -509,7 +515,9 @@ def gs_head_apply(params, taps, images, patch_start_idx: int,
         for lo, hi in _frame_chunks(b * s, cfg.frames_chunk_size)
     ]
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
-    return out.reshape(b, s, h, w, cfg.output_dim)
+    # raw Gaussian channels are consumed fp32 by the assembly
+    # (`encoder.heads_pipeline`) whatever the cascade dtype
+    return out.astype(jnp.float32).reshape(b, s, h, w, cfg.output_dim)
 
 
 # --------------------------------------------------------------------------- #

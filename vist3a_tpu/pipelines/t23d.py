@@ -28,6 +28,7 @@ import numpy as np
 from vist3a_tpu.diffusion import unipc
 from vist3a_tpu.nn import umt5 as umt5_mod
 from vist3a_tpu.nn import wan_dit, wan_vae
+from vist3a_tpu.nn.encoder import EncoderConfig
 from vist3a_tpu.stitch import chopped_anysplat as ca
 
 # `inference_t23d.py:88`
@@ -59,7 +60,12 @@ class T23DConfig:
     dit: wan_dit.WanDiTConfig = wan_dit.WAN_1_3B
     umt5: umt5_mod.UMT5Config = umt5_mod.UMT5_XXL
     vae: wan_vae.WanVAEConfig = wan_vae.WanVAEConfig()
-    stitched: ca.StitchedConfig = ca.StitchedConfig()
+    # bf16 DPT-head activations on the inference decode (the trunk is bf16
+    # already; the heads' MXU products are single-pass bf16 in either mode —
+    # bf16 storage only halves the 448²-temp HBM traffic; measured deviation
+    # documented at `EncoderConfig.head_dtype` / PARITY.md)
+    stitched: ca.StitchedConfig = ca.StitchedConfig(
+        encoder=EncoderConfig(head_dtype="bfloat16"))
     feedforward_size: int = 448
 
     @property
