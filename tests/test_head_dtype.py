@@ -72,7 +72,9 @@ def test_bf16_heads_within_trunk_quantization_noise():
     policy_h = rel(h16, h32, h32)
     assert np.isfinite(quant_d) and quant_d > 0
     assert policy_d < 2e-3, (policy_d, quant_d)
-    assert policy_h < 0.02, policy_h        # SH/color: ≲2 bf16 ulps
+    # SH/color: measured 4.2e-3 mean-relative at this config (≲2 bf16 ulps);
+    # 2x margin for backend noise — an order-of-magnitude regression fails
+    assert policy_h < 8e-3, policy_h
 
     # pose path is fp32 in both modes — identical camera outputs
     np.testing.assert_array_equal(np.asarray(out16.extrinsic_c2w),

@@ -45,7 +45,14 @@ def _scalarize(out):
     return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
 
-def probe(name, fn, args, rtt, iters=4):
+def probe(name, fn, args, rtt, iters=4, scanned=False):
+    """Time one isolated stage.  `scanned=True` marks stages whose program
+    contains a `lax.scan` stack: XLA `cost_analysis` counts the scan body
+    ONCE (not x trip-count), so `gflop`/`mfu` under-report by ~the trip
+    count for those stages (bench._flops documents the same; its analytic
+    formulas are the honest MFU anchor).  The JSON carries an explicit
+    `flops_scan_undercounted` flag so nobody reads the scanned stages' MFU
+    as real."""
     f = jax.jit(fn)
     out = f(*args)
     float(_scalarize(out) if not isinstance(out, jax.Array) else
@@ -65,9 +72,11 @@ def probe(name, fn, args, rtt, iters=4):
               jnp.sum(out.astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / iters - rtt
     mfu = flops / dt / V5E_PEAK_FLOPS if dt > 0 else 0.0
-    print(json.dumps({"stage": name, "ms": round(dt * 1e3, 2),
-                      "gflop": round(flops / 1e9, 1),
-                      "mfu": round(mfu, 3)}), flush=True)
+    rec = {"stage": name, "ms": round(dt * 1e3, 2),
+           "gflop": round(flops / 1e9, 1), "mfu": round(mfu, 3)}
+    if scanned:
+        rec["flops_scan_undercounted"] = True
+    print(json.dumps(rec), flush=True)
     return jax.device_put(out) if isinstance(out, jax.Array) else out
 
 
@@ -114,7 +123,8 @@ def main():
         return ca.chopped_vit_forward(p["encoder"]["vit"], t, (gh, gw), cfg,
                                       remat=False)
 
-    patch_tokens = probe("vit", vit, (params, tok), rtt)
+    patch_tokens = probe("vit", vit, (params, tok), rtt,
+                         scanned=True)
 
     # stage 3: aggregator trunk
     def agg(p, pt):
@@ -129,7 +139,8 @@ def main():
                                     remat=False)
         return taps
 
-    taps = probe("agg", agg, (params, patch_tokens), rtt)
+    taps = probe("agg", agg, (params, patch_tokens), rtt,
+                 scanned=True)
     taps = [t.astype(jnp.float32) for t in taps]
     images01 = (jnp.swapaxes(images, 1, 2).astype(jnp.float32) + 1.0) / 2.0
     hw = images01.shape[-2:]

@@ -136,12 +136,26 @@ def main(args):
         warmup_steps=args.warmup_steps,
         total_steps=args.num_epochs * steps_per_epoch,
         lora_spec=args.lora_config)
-    run({"encoder": encoder, "stitch_conv": stitch_conv, "vae": vae},
-        scfg, loader, sampler, train_cfg=train_cfg,
-        num_epochs=args.num_epochs, save_path=args.save_path,
-        resume_path=args.resume_checkpoint_path,
-        key=jax.random.key(args.global_seed),
-        on_metrics=lambda m: print(m), mesh=mesh)
+    # rank-0 metric stream (`model_stitching_training.py:173-193`): real
+    # wandb when importable, JSONL fallback otherwise
+    from vist3a_tpu.core.wandb_log import make_run
+    logger = make_run(args.wandb_logging, project=args.wandb_project_name,
+                      run_name=args.exp_name, config=vars(args),
+                      out_dir=args.save_path)
+
+    def on_metrics(m):
+        print(m)
+        logger.log(m, step=m.get("step"))
+
+    try:
+        run({"encoder": encoder, "stitch_conv": stitch_conv, "vae": vae},
+            scfg, loader, sampler, train_cfg=train_cfg,
+            num_epochs=args.num_epochs, save_path=args.save_path,
+            resume_path=args.resume_checkpoint_path,
+            key=jax.random.key(args.global_seed),
+            on_metrics=on_metrics, mesh=mesh)
+    finally:
+        logger.finish()
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
         save_freq: int = 100, key=jax.random.key(23),
         latent_shape=(1, 16, 4, 64, 64), render_size: int = 448,
         on_metrics=None, uncond_embeds=None, reward_text_fn=None,
-        mesh=None):
+        mesh=None, logger=None):
     """The VDM loop.  embed_text(list[str]) → (B, L, text_dim) embeddings;
     text_loader yields {"prompt": [str]}; video_loader yields
     {"image_tensor": (B,3,T,H,W), "caption": [str]}.
@@ -140,10 +140,20 @@ def run(state, dit_params, vae_params, stitched_params, *, text_loader,
             history.append({"step": step, "prompt": prompt, **m})
             if on_metrics:
                 on_metrics(history[-1])
+            if logger is not None:
+                logger.log({"prompt": prompt, **m}, step=step)
             if imgs:
                 _save_image_grid(
                     Path(save_path) / "images" / f"step_{img_step:06d}.png",
                     imgs)
+                if logger is not None:
+                    # decoded frames then renders, one wandb.Image each
+                    # (`train_vdm.py:665-688`)
+                    decoded, rendered = imgs
+                    logger.log_images(
+                        "images",
+                        list(np.asarray(decoded)) + list(np.asarray(rendered)),
+                        step=img_step)
             if save_path is not None and step % save_freq == 0:
                 ckpt.save_vdm_checkpoint(
                     save_path, step, lora=state.lora,
@@ -309,14 +319,23 @@ def main(args):
                              weight_decay=args.weight_decay,
                              enable_rl=args.enable_rl)
     state = vdm.init_train_state(jax.random.key(args.global_seed), dit, cfg)
-    run(state, dit, stitched["vae"], stitched, text_loader=text_loader,
-        video_loader=video_loader, embed_text=embed_text,
-        reward_loss_fn=reward_loss_fn, reward_text_fn=reward_text_fn,
-        dit_cfg=dit_cfg,
-        vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
-        num_steps=args.num_epochs * len(video_loader),
-        save_path=args.save_path, save_freq=args.save_freq,
-        key=jax.random.key(args.global_seed), mesh=mesh)
+    # rank-0 metric/image stream (`train_vdm.py:651-688`): real wandb when
+    # importable, JSONL fallback otherwise (PNG grids always written)
+    from vist3a_tpu.core.wandb_log import make_run
+    logger = make_run(args.wandb_logging, project=args.wandb_project_name,
+                      run_name=args.exp_name, config=vars(args),
+                      out_dir=args.save_path)
+    try:
+        run(state, dit, stitched["vae"], stitched, text_loader=text_loader,
+            video_loader=video_loader, embed_text=embed_text,
+            reward_loss_fn=reward_loss_fn, reward_text_fn=reward_text_fn,
+            dit_cfg=dit_cfg,
+            vae_cfg=WanVAEConfig(), scfg=scfg, cfg=cfg,
+            num_steps=args.num_epochs * len(video_loader),
+            save_path=args.save_path, save_freq=args.save_freq,
+            key=jax.random.key(args.global_seed), mesh=mesh, logger=logger)
+    finally:
+        logger.finish()
 
 
 if __name__ == "__main__":

@@ -123,6 +123,12 @@ def make_loss_fn(pick_params, pe_params, *, pick_text=None, pe_text=None,
 
     # picked up by vdm_train_step and threaded as traced args (see above)
     loss_fn.reward_params = {"pick": pick_params, "pe": pe_params}
+    # stable jit-cache key: two loss_fns with the same token trace the SAME
+    # program (towers/text ride as traced args), so `train/vdm._vdm_step_jit`
+    # keys its lru_cache on this instead of function identity — rebuilding a
+    # loss_fn per prompt must never silently recompile the whole train step
+    loss_fn.cache_token = ("reward_loss_v1", cfg, float(logit_scale),
+                           pick_text is not None, pe_text is not None)
     return loss_fn
 
 

@@ -179,9 +179,28 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
 # --------------------------------------------------------------------------- #
 # the train step                                                              #
 # --------------------------------------------------------------------------- #
+# loss-token registry: `_vdm_step_jit` keys its cache on the loss_fn's
+# stable `cache_token` (set by `train.reward.make_loss_fn`), NOT function
+# identity — so constructing a fresh loss_fn per prompt (same config) can
+# never silently recompile the step.  The live fn is looked up here at
+# TRACE time; same-token fns trace identical programs by contract (towers
+# and text features ride as traced arguments, never closure constants).
+_REWARD_FNS: dict = {}
+
+
+def _loss_token(reward_loss_fn):
+    if reward_loss_fn is None:
+        return None
+    tok = getattr(reward_loss_fn, "cache_token", None)
+    if tok is None:  # foreign callable without a token: fall back to identity
+        tok = ("id", id(reward_loss_fn))
+    _REWARD_FNS[tok] = reward_loss_fn
+    return tok
+
+
 @functools.lru_cache(maxsize=64)
 def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
-                  reward_loss_fn, num_steps: int,
+                  loss_token, num_steps: int,
                   latent_shape: tuple, render_size: int, pair_budget,
                   return_images: bool = False):
     """The jitted per-step program, cached by the static rollout config.
@@ -196,6 +215,8 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
     as a traced `reward_params` argument (loss_fn.reward_params) — baking
     them into the program as closure constants doubles their HBM and ships
     ~2.5 GB through the remote compile per variant."""
+    reward_loss_fn = (None if loss_token is None
+                      else _REWARD_FNS[loss_token])
 
     def run(state, dit_params, vae_params, stitched_params, video, sft_text,
             rl_cond, rl_uncond, bp_mask, reward_text, reward_params,
@@ -312,7 +333,8 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
         num_steps, bp_mask = 0, jnp.zeros((0,), jnp.float32)
     guidance = choose_guidance_scale(key, step)
 
-    fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg, reward_loss_fn,
+    fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg,
+                       _loss_token(reward_loss_fn),
                        num_steps, tuple(latent_shape),
                        render_size, pair_budget,
                        return_images=bool(return_images and rl))
