@@ -193,10 +193,14 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     """(gaussian, tile) pair list, sorted by (tile, depth), chunk-padded.
 
     Returns (gid_final (P2,) int32 [-1 = padding], chunk_tile/first/last
-    (n_chunks,) int32, order) with P2 = pair_budget + n_tiles·CHUNK static.
-    When `order` is not None the gid values index gaussians in depth order
-    `order` (the caller pre-permutes its attribute table by it — a cheap
-    G-sized row gather that lets the P-sized pipeline drop a gather).
+    (n_chunks,) int32, bounds_bwd) with P2 = pair_budget + n_tiles·CHUNK
+    static.  gid values index gaussians in their ORIGINAL order: the packed
+    path sorts by a (tile, depth-rank) key but carries the original id
+    through the sort as payload, so the caller's attribute table needs NO
+    depth permutation (r3's `_permute_rows` — a G-sized 40-byte row gather
+    forward + argsort-gather backward — measured ~70/~90 ms at 2.6M
+    gaussians on v5e; carrying 4 more payload bytes through the sort and
+    3 more through the meta gather is ~free by the gather_probe numbers).
 
     Every P-sized gather/scatter here costs ~100 ms at 10M pairs on v5e, so
     the pipeline is arranged to touch the slot space as few times as
@@ -249,11 +253,21 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
         gid = _run_lookup(offsets, p1)
         gid_c = jnp.clip(gid, 0, g - 1)
 
-        # single row gather for both per-gaussian words (8B contiguous)
-        tab = jnp.stack([meta_o, offsets[:g]], axis=1)
-        tab_s = tab[gid_c]
+        # one row gather for all three per-gaussian words — packed meta, run
+        # offset, original gaussian id — bit-split to uint16 halves (6×2B
+        # rows): measured 10.2 ms vs 13.9 ms for the 3×int32 form at 2.6M
+        # pairs (tools/gather_probe.py; row bytes dominate gather cost)
+        tab32 = jnp.stack([meta_o, offsets[:g], order.astype(jnp.int32)],
+                          axis=1)
+        tab = jnp.concatenate([
+            (tab32 >> 16).astype(jnp.uint16),
+            (tab32 & 0xFFFF).astype(jnp.uint16)], axis=1)
+        tab_s16 = tab[gid_c]
+        tab_s = ((tab_s16[:, :3].astype(jnp.int32) << 16)
+                 | tab_s16[:, 3:].astype(jnp.int32))
         meta_s = tab_s[:, 0]
         off_s = tab_s[:, 1]
+        orig_s = tab_s[:, 2]
         np_p = meta_s & ((1 << np_bits) - 1)
         w_p = (meta_s >> np_bits) & ((1 << w_bits) - 1)
         base_p = meta_s >> (w_bits + np_bits)
@@ -268,7 +282,7 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
         tile = jnp.where(pair_ok, tile, n_tiles)      # sentinel sorts last
         key = ((tile.astype(jnp.uint32) << rank_bits)
                | gid_c.astype(jnp.uint32))
-        key_s, gid_s = jax.lax.sort((key, gid_c), num_keys=1)
+        key_s, gid_s = jax.lax.sort((key, orig_s), num_keys=1)
         # tile segment starts via 786 binary searches on the sorted keys
         # (replaces a P-sized segment-sum scatter)
         bounds = jnp.searchsorted(
@@ -342,11 +356,23 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     # slots [offsets[i], offsets[i+1]) and the budget truncates the slot
     # space at p1, so its SURVIVING pair count is
     # min(offsets[i+1],p1) − min(offsets[i],p1) and the prefix telescopes to
-    # bounds_bwd = min(offsets, p1).  Replaces a searchsorted over G+1
-    # queries in the gather transpose (measured 424 ms at 10.4M pairs on
-    # v5e — XLA lowers it to a 24-deep gather loop) with G-sized arithmetic.
-    bounds_bwd = jnp.minimum(offsets, p1)
-    return gid_final, chunk_tile, chunk_first, chunk_last, order, bounds_bwd
+    # min(offsets, p1).  Replaces a searchsorted over G+1 queries in the
+    # gather transpose (measured 424 ms at 10.4M pairs on v5e — XLA lowers
+    # it to a 24-deep gather loop) with G-sized arithmetic.  On the packed
+    # path gid values are ORIGINAL ids while offsets index depth-rank space,
+    # so the rank-space counts are scattered to original order first (one
+    # G-sized 4-byte permutation scatter — `order` is a full permutation)
+    # and re-prefixed.
+    surv = jnp.minimum(offsets, p1)
+    if order is not None:
+        counts_orig = jnp.zeros((g,), jnp.int32).at[order].set(
+            surv[1:] - surv[:g])
+        bounds_bwd = jnp.concatenate([
+            jnp.zeros((1,), jnp.int32),
+            jnp.cumsum(counts_orig)]).astype(jnp.int32)
+    else:
+        bounds_bwd = surv
+    return gid_final, chunk_tile, chunk_first, chunk_last, bounds_bwd
 
 
 def _cdiv_arr(x):
@@ -640,7 +666,16 @@ def _gather_pair_rows(table, gid, bounds):
     """
     g = table.shape[0]
     ok = (gid >= 0).astype(table.dtype)
-    return table[jnp.clip(gid, 0, g - 1)] * ok[:, None]
+    idx = jnp.clip(gid, 0, g - 1)
+    # TPU row-gather cost scales with ROW BYTES, with a flat ~12 ms floor at
+    # 2.6M rows (tools/gather_probe.py: 40B rows 58 ms, 20B rows 17.6 ms,
+    # 12B 13.9 ms — and a u16 bit-split of the same 40B stays at 55 ms, so
+    # it is bytes, not lanes).  Splitting the (G, 10) table into two (G, 5)
+    # halves turns one 58 ms gather into two ~18 ms ones.
+    c = table.shape[1]
+    h = c // 2
+    rows = jnp.concatenate([table[:, :h][idx], table[:, h:][idx]], axis=1)
+    return rows * ok[:, None]
 
 
 def _gather_pair_rows_fwd(table, gid, bounds):
@@ -662,23 +697,6 @@ def _gather_pair_rows_bwd(res, drows):
 
 
 _gather_pair_rows.defvjp(_gather_pair_rows_fwd, _gather_pair_rows_bwd)
-
-
-@jax.custom_vjp
-def _permute_rows(rows, order):
-    """rows[order] with a gather (not scatter) transpose via argsort."""
-    return rows[order]
-
-
-def _permute_rows_fwd(rows, order):
-    return rows[order], order
-
-
-def _permute_rows_bwd(order, d):
-    return d[jnp.argsort(order)], None
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
 
 
 # --------------------------------------------------------------------------- #
@@ -712,12 +730,11 @@ def _rasterize_view(means, covars, colors, opacities, viewmat, K,
     # for ANY σ when op < ALPHA_MIN, and such gaussians receive exactly zero
     # gradients there — dropping their pairs is a pure win (the encoder's
     # conf-mask zeros ~10% of opacities; post-opt scenes far more).
-    gid, c_tile, c_first, c_last, order, bounds_bwd = build_pairs(
+    gid, c_tile, c_first, c_last, bounds_bwd = build_pairs(
         proj, ntx, nty, pair_budget, extra_valid=op >= ALPHA_MIN)
-    table = attrs_rows if order is None else _permute_rows(attrs_rows, order)
     pair_ok = (gid >= 0).astype(jnp.float32)
     p2 = gid.shape[0]
-    rows = _gather_pair_rows(table, gid,
+    rows = _gather_pair_rows(attrs_rows, gid,
                              jax.lax.stop_gradient(bounds_bwd)).T  # (10, P2)
     attrs_s = jnp.concatenate(
         [rows, pair_ok[None],
