@@ -106,3 +106,84 @@ def test_golden_transcript():
     # device-count settings; the MOS/100 scale makes 2e-4 abs ≪ 1 MOS point
     np.testing.assert_allclose(score, -0.010135467052459718,
                                rtol=0, atol=2e-4)
+
+
+@pytest.mark.parametrize("spelling", ["encoder_layers", "encoderblock"])
+def test_convert_state_dict_alias_spellings(spelling):
+    """`musiq_convert.convert_state_dict` maps a pyiqa-layout torch state
+    dict into our tree under either known module spelling, transposing
+    torch Linear (out,in) weights; misses raise with the manifest."""
+    from vist3a_tpu.eval import musiq_convert
+
+    rng = np.random.default_rng(0)
+    d, m = CFG.hidden, CFG.mlp_dim
+
+    def lin(o, i):
+        return rng.standard_normal((o, i)).astype(np.float32)
+
+    sd = {}
+    if spelling == "encoder_layers":
+        blk = "transformer.encoder_layers.{i}"
+        attn, ln1, ln2, mlp = ".self_attention", ".layer_norm_input", \
+            ".layer_norm_out", ".mlp_block"
+        sd["transformer.embedding.weight"] = lin(d, CFG.patch_dim)
+        sd["transformer.embedding.bias"] = np.zeros(d, np.float32)
+        sd["transformer.cls_token"] = rng.standard_normal(
+            (1, 1, d)).astype(np.float32)
+        sd["transformer.position_embedding"] = rng.standard_normal(
+            (CFG.hse_grid, CFG.hse_grid, d)).astype(np.float32)
+        sd["transformer.scale_embedding"] = rng.standard_normal(
+            (CFG.num_scales, d)).astype(np.float32)
+        sd["transformer.encoder_norm.weight"] = np.ones(d, np.float32)
+        sd["transformer.encoder_norm.bias"] = np.zeros(d, np.float32)
+    else:
+        blk = "transformer_encoder.encoderblock_{i}"
+        attn, ln1, ln2, mlp = ".attention", ".ln1", ".ln2", ".mlp"
+        sd["transformer_encoder.embedding.weight"] = lin(d, CFG.patch_dim)
+        sd["transformer_encoder.embedding.bias"] = np.zeros(d, np.float32)
+        sd["transformer_encoder.cls"] = rng.standard_normal(
+            (1, 1, d)).astype(np.float32)
+        sd["transformer_encoder.posembed_input.position_emb"] = \
+            rng.standard_normal((CFG.hse_grid, CFG.hse_grid, d)) \
+            .astype(np.float32)
+        sd["transformer_encoder.scale_emb.scale_emb"] = rng.standard_normal(
+            (CFG.num_scales, d)).astype(np.float32)
+        sd["transformer_encoder.encoder_norm.weight"] = np.ones(
+            d, np.float32)
+        sd["transformer_encoder.encoder_norm.bias"] = np.zeros(
+            d, np.float32)
+    for i in range(CFG.num_layers):
+        p = blk.format(i=i)
+        for q in ("query", "key", "value", "out"):
+            sd[f"{p}{attn}.{q}.weight"] = lin(d, d)
+            sd[f"{p}{attn}.{q}.bias"] = np.zeros(d, np.float32)
+        for lnp in (ln1, ln2):
+            sd[f"{p}{lnp}.weight"] = np.ones(d, np.float32)
+            sd[f"{p}{lnp}.bias"] = np.zeros(d, np.float32)
+        sd[f"{p}{mlp}.fc1.weight"] = lin(m, d)
+        sd[f"{p}{mlp}.fc1.bias"] = np.zeros(m, np.float32)
+        sd[f"{p}{mlp}.fc2.weight"] = lin(d, m)
+        sd[f"{p}{mlp}.fc2.bias"] = np.zeros(d, np.float32)
+    sd["head.weight"] = lin(1, d)
+    sd["head.bias"] = np.zeros(1, np.float32)
+
+    params = musiq_convert.convert_state_dict(sd, CFG)
+    assert params["patch_proj"]["w"].shape == (CFG.patch_dim, d)
+    # torch (out,in) -> ours (in,out) transpose
+    np.testing.assert_array_equal(params["head"]["w"],
+                                  sd["head.weight"].T)
+    assert params["blocks"][0]["qkv"]["w"].shape == (d, 3 * d)
+    assert len(params["blocks"]) == CFG.num_layers
+    # converted tree loads through the validated npz round-trip
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as td:
+        path = pathlib.Path(td) / "m.npz"
+        musiq.save_musiq_npz(path, params)
+        loaded = musiq.load_musiq_npz(path, CFG)
+        assert loaded["blocks"][0]["qkv"]["w"].shape == (d, 3 * d)
+
+    # a missing key fails loudly with the manifest
+    bad = dict(sd)
+    bad.pop("head.weight")
+    with pytest.raises(KeyError, match="aliases"):
+        musiq_convert.convert_state_dict(bad, CFG)

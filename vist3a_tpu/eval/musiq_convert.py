@@ -67,61 +67,105 @@ def convert_state_dict(sd: dict, cfg: MUSIQConfig = MUSIQConfig()) -> dict:
     re-checks the result)."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
 
-    def take(name, shape, transpose=False):
-        if name not in sd:
-            raise KeyError(
-                f"pyiqa key {name!r} not found; manifest:\n"
-                + dump_manifest(sd))
-        v = sd.pop(name)
-        if transpose:
-            v = np.ascontiguousarray(v.T)
-        if tuple(v.shape) != tuple(shape):
-            raise ValueError(f"{name}: shape {v.shape} != expected {shape}")
-        return v
+    def take(names, shape, transpose=False):
+        """Pop the first present alias; loud-fail with the manifest."""
+        if isinstance(names, str):
+            names = (names,)
+        for name in names:
+            if name in sd:
+                v = sd.pop(name)
+                if transpose:
+                    v = np.ascontiguousarray(v.T)
+                if tuple(v.shape) != tuple(shape):
+                    raise ValueError(
+                        f"{name}: shape {v.shape} != expected {shape}")
+                return v
+        raise KeyError(
+            f"none of the pyiqa aliases {list(names)!r} found; manifest:\n"
+            + dump_manifest(sd))
 
     d, m = cfg.hidden, cfg.mlp_dim
 
-    def linear(prefix, i, o):
-        return {"w": take(f"{prefix}.weight", (i, o), transpose=True),
-                "b": take(f"{prefix}.bias", (o,))}
+    def linear(prefixes, i, o):
+        if isinstance(prefixes, str):
+            prefixes = (prefixes,)
+        return {"w": take([f"{p}.weight" for p in prefixes], (i, o),
+                          transpose=True),
+                "b": take([f"{p}.bias" for p in prefixes], (o,))}
 
-    def ln(prefix):
-        return {"scale": take(f"{prefix}.weight", (d,)),
-                "bias": take(f"{prefix}.bias", (d,))}
+    def ln(prefixes):
+        if isinstance(prefixes, str):
+            prefixes = (prefixes,)
+        return {"scale": take([f"{p}.weight" for p in prefixes], (d,)),
+                "bias": take([f"{p}.bias" for p in prefixes], (d,))}
 
-    # _KEY_MAP: pyiqa MUSIQ module spelling (pyiqa>=0.1.7 musiq_arch.py).
-    # The transformer body follows the google-research/musiq JAX layout the
-    # paper released; patch projection / HSE / scale-embedding names below
-    # are the expected spellings — the take() asserts are the safety net.
+    # _KEY_MAP: alias spellings per field.  pyiqa's musiq_arch.py ports the
+    # google-research/musiq JAX release; the module spelling has drifted
+    # across pyiqa versions, so each field tries the known candidates
+    # (encoderblock_{i} à la the JAX param tree, encoder_layers.{i} à la
+    # plain torch ports) — the take() asserts remain the safety net, and
+    # `verify_transcript` numerically re-checks the result.
+    BLOCK_PREFIXES = ("transformer.encoder_layers.{i}",
+                      "transformer_encoder.encoderblock_{i}",
+                      "transformer.encoderblock_{i}",
+                      "transformer_encoder.transformer_block.{i}")
+    ATTN = (".self_attention", ".attention", ".msa", ".attn")
+    LN1 = (".layer_norm_input", ".layernorm_input", ".ln1", ".norm1")
+    LN2 = (".layer_norm_out", ".layernorm_out", ".ln2", ".norm2",
+           ".layer_norm_mlp")
+    MLP = (".mlp_block", ".mlp", ".mlpblock")
+
+    def expand(i, suffixes):
+        return [b.format(i=i) + s for b in BLOCK_PREFIXES for s in suffixes]
+
     blocks = []
     for i in range(cfg.num_layers):
-        p = f"transformer.encoder_layers.{i}"
         qkv = np.concatenate(
-            [take(f"{p}.self_attention.query.weight", (d, d), True),
-             take(f"{p}.self_attention.key.weight", (d, d), True),
-             take(f"{p}.self_attention.value.weight", (d, d), True)], axis=1)
+            [take(expand(i, [a + ".query.weight" for a in ATTN]), (d, d),
+                  True),
+             take(expand(i, [a + ".key.weight" for a in ATTN]), (d, d),
+                  True),
+             take(expand(i, [a + ".value.weight" for a in ATTN]), (d, d),
+                  True)], axis=1)
         qkv_b = np.concatenate(
-            [take(f"{p}.self_attention.query.bias", (d,)),
-             take(f"{p}.self_attention.key.bias", (d,)),
-             take(f"{p}.self_attention.value.bias", (d,))])
+            [take(expand(i, [a + ".query.bias" for a in ATTN]), (d,)),
+             take(expand(i, [a + ".key.bias" for a in ATTN]), (d,)),
+             take(expand(i, [a + ".value.bias" for a in ATTN]), (d,))])
         blocks.append({
-            "ln1": ln(f"{p}.layer_norm_input"),
+            "ln1": ln(expand(i, LN1)),
             "qkv": {"w": qkv, "b": qkv_b},
-            "proj": linear(f"{p}.self_attention.out", d, d),
-            "ln2": ln(f"{p}.layer_norm_out"),
-            "fc1": linear(f"{p}.mlp_block.fc1", d, m),
-            "fc2": linear(f"{p}.mlp_block.fc2", m, d),
+            "proj": {"w": take(expand(i, [a + ".out.weight" for a in ATTN]
+                                      + [a + ".proj.weight" for a in ATTN]),
+                               (d, d), True),
+                     "b": take(expand(i, [a + ".out.bias" for a in ATTN]
+                                      + [a + ".proj.bias" for a in ATTN]),
+                               (d,))},
+            "ln2": ln(expand(i, LN2)),
+            "fc1": linear(expand(i, [p + ".fc1" for p in MLP]), d, m),
+            "fc2": linear(expand(i, [p + ".fc2" for p in MLP]), m, d),
         })
     params = {
-        "patch_proj": linear("transformer.embedding", cfg.patch_dim, d),
-        "cls": take("transformer.cls_token", (1, 1, d)),
-        "hse": take("transformer.position_embedding",
+        "patch_proj": linear(("transformer.embedding",
+                              "transformer_encoder.embedding",
+                              "embedding", "patch_embedding"),
+                             cfg.patch_dim, d),
+        "cls": take(("transformer.cls_token", "transformer_encoder.cls",
+                     "cls_token", "transformer.cls"), (1, 1, d)),
+        "hse": take(("transformer.position_embedding",
+                     "transformer_encoder.posembed_input.position_emb",
+                     "posembed_input.position_emb",
+                     "transformer.posembed_input.position_emb"),
                     (cfg.hse_grid, cfg.hse_grid, d)),
-        "scale_embed": take("transformer.scale_embedding",
+        "scale_embed": take(("transformer.scale_embedding",
+                             "transformer_encoder.scale_emb.scale_emb",
+                             "scale_emb.scale_emb",
+                             "transformer.scale_emb.scale_emb"),
                             (cfg.num_scales, d)),
         "blocks": blocks,
-        "ln_out": ln("transformer.encoder_norm"),
-        "head": linear("head", d, 1),
+        "ln_out": ln(("transformer.encoder_norm",
+                      "transformer_encoder.encoder_norm", "encoder_norm",
+                      "norm")),
+        "head": linear(("head", "fc", "classifier", "mlp_head"), d, 1),
     }
     leftover = [k for k in sd if "num_batches" not in k]
     if leftover:
