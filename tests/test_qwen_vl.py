@@ -188,3 +188,37 @@ def test_patchify_matches_hf_processor():
                                  qwen_vl.QWEN25_VL_7B_VISION)
     assert grid == grid_hf
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_text_tp_matches_replicated(params, mesh8):
+    """Megatron TP placement of the text decoder over the mesh "model" axis
+    reproduces the single-device forward exactly (GSPMD partitioning of the
+    scan body; GQA kv heads stay whole per shard — the 7B judge deployment,
+    `dpg_evaluation.py:79-124`)."""
+    import jax
+
+    _, text = params
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 100, size=(11,)), jnp.int32)
+    pos = jnp.asarray(np.tile(np.arange(11), (3, 1)), jnp.int32)
+
+    def fwd(p):
+        x = qwen_vl.embed_tokens(p, ids, None, TCFG)
+        logits, _, _ = qwen_vl.text_forward(p, x, pos, TCFG)
+        return logits
+
+    want = np.asarray(jax.jit(fwd)(text))
+
+    placed = qwen_vl.place_text(text, TCFG, mesh8, axis="model")
+    with mesh8:
+        got = np.asarray(jax.jit(fwd)(placed))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # last_only: identical to the full forward's final row (prefill path)
+    def fwd_last(p):
+        x = qwen_vl.embed_tokens(p, ids, None, TCFG)
+        logits, _, _ = qwen_vl.text_forward(p, x, pos, TCFG, last_only=True)
+        return logits
+
+    last = np.asarray(jax.jit(fwd_last)(text))
+    np.testing.assert_allclose(last[0], want[-1], rtol=1e-6, atol=1e-6)

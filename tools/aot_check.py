@@ -201,7 +201,8 @@ def check_rl_step_lowering(mesh):
 
     loss_fn = reward_mod.make_loss_fn(None, None, logit_scale=30.0, cfg=rcfg)
     b = mesh.shape["data"]
-    fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, vcfg, loss_fn, 3,
+    fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, vcfg,
+                       vdm._loss_token(loss_fn), 3,
                        (1, 16, 2, 8, 8), 56, None)
     dp = NamedSharding(mesh, P("data"))
     key = jax.ShapeDtypeStruct((), jax.eval_shape(
@@ -225,6 +226,64 @@ def check_rl_step_lowering(mesh):
     return report("RL step FSDP (reduced shapes)", compiled)
 
 
+def check_qwen_judge_tp(devs):
+    """7B Qwen2.5-VL judge: greedy prefill (L=1024, 512 new-token cache) +
+    one decode step, Megatron TP over a model=4 mesh (`nn/qwen_vl.py
+    text_param_shardings`).  7B bf16 weights are 15.2 GB — over one chip;
+    the reference runs the judge on one GH200 (`dpg_evaluation.py:79-86`).
+    kv_heads=4 ⇒ model must divide 4."""
+    from vist3a_tpu.nn import qwen_vl
+
+    tcfg = qwen_vl.QWEN25_VL_7B_TEXT
+    mesh = Mesh(devs.reshape(-1)[:4].reshape(1, 4), ("data", "model"))
+    text_abs = jax.eval_shape(
+        lambda k: qwen_vl.text_init(k, tcfg, jnp.bfloat16),
+        jax.random.key(0))
+    specs = qwen_vl.text_param_shardings(text_abs, tcfg)
+    text_sh = jax.tree_util.tree_map(
+        lambda a, sp: jax.ShapeDtypeStruct(
+            a.shape, a.dtype, sharding=NamedSharding(mesh, sp)),
+        text_abs, specs,
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
+    rep = NamedSharding(mesh, P())
+    l, lmax = 1024, 1024 + 512
+    ids = jax.ShapeDtypeStruct((l,), jnp.int32, sharding=rep)
+    pos = jax.ShapeDtypeStruct((3, l), jnp.int32, sharding=rep)
+
+    def prefill(params, ids, pos_ids):
+        x = qwen_vl.embed_tokens(params, ids, None, tcfg)
+        kc = jnp.zeros((tcfg.num_layers, lmax, tcfg.num_kv_heads,
+                        tcfg.head_dim), x.dtype)
+        vc = jnp.zeros_like(kc)
+        logits, kc, vc = qwen_vl.text_forward(
+            params, x, pos_ids, tcfg, kcache=kc, vcache=vc, cache_pos=0,
+            last_only=True)
+        return jnp.argmax(logits[-1]).astype(jnp.int32), kc, vc
+
+    with mesh:
+        compiled = jax.jit(prefill).lower(text_sh, ids, pos).compile()
+    peak = report("Qwen 7B judge prefill TP=4", compiled)
+
+    kc_abs = jax.ShapeDtypeStruct(
+        (tcfg.num_layers, lmax, tcfg.num_kv_heads, tcfg.head_dim),
+        jnp.bfloat16,
+        sharding=NamedSharding(mesh, P(None, None, "model", None)))
+
+    def step(params, tok, kc, vc):
+        x = params["embed"][tok][None]
+        logits, kc, vc = qwen_vl.text_forward(
+            params, x, jnp.full((3, 1), l, jnp.int32), tcfg,
+            kcache=kc, vcache=vc, cache_pos=l)
+        return jnp.argmax(logits[-1]).astype(jnp.int32), kc, vc
+
+    tok = jax.ShapeDtypeStruct((), jnp.int32, sharding=rep)
+    with mesh:
+        compiled = jax.jit(step).lower(text_sh, tok, kc_abs,
+                                       kc_abs).compile()
+    peak2 = report("Qwen 7B judge decode step TP=4", compiled)
+    assert max(peak, peak2) < 15.0, "judge TP does not fit a v5e chip"
+
+
 def main():
     topology = sys.argv[1] if len(sys.argv) > 1 else "v5e:2x4"
     data, model = ((int(x) for x in sys.argv[2].split("x"))
@@ -238,6 +297,7 @@ def main():
     check_rl_step_lowering(mesh)
     check_14b_tp_denoise(mesh)
     check_14b_sft(mesh)
+    check_qwen_judge_tp(devs)
     print("AOT multi-chip gate: ALL OK")
 
 

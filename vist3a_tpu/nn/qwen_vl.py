@@ -443,10 +443,16 @@ def _text_layer(p, x, cos, sin, kcache, vcache, cache_pos, bias,
 
 
 def text_forward(params, embeds, pos_ids, cfg: QwenVLTextConfig, *,
-                 kcache=None, vcache=None, cache_pos=0, valid_len=None):
+                 kcache=None, vcache=None, cache_pos=0, valid_len=None,
+                 last_only: bool = False):
     """embeds: (L, D); pos_ids: (3, L).  Returns (logits (L, V), kcache,
     vcache).  With a cache, computes the incremental step at `cache_pos`;
-    without, allocates a cache of exactly L."""
+    without, allocates a cache of exactly L.
+
+    last_only=True computes logits for the FINAL position only (returns
+    (1, V)): greedy prefill at 7B otherwise burns L·V·D flops
+    (~1.6 TFLOP at L=1.5k) and an (L, 152k) fp32 buffer on logits that are
+    immediately discarded."""
     l = embeds.shape[0]
     if kcache is None:
         lmax = l
@@ -471,6 +477,8 @@ def text_forward(params, embeds, pos_ids, cfg: QwenVLTextConfig, *,
 
     x, (kcache, vcache) = jax.lax.scan(
         body, embeds, (params["layers"], kcache, vcache))
+    if last_only:
+        x = x[-1:]
     x = _rms_norm(params["ln_f"], x, cfg.rms_eps)
     head = params.get("lm_head", None)
     w = params["embed"].T if head is None else head
@@ -513,7 +521,8 @@ def greedy_generate(params, input_ids: np.ndarray, image_embeds,
                         cfg.head_dim), x.dtype)
         vc = jnp.zeros_like(kc)
         logits, kc, vc = text_forward(params, x, pos_ids, cfg,
-                                      kcache=kc, vcache=vc, cache_pos=0)
+                                      kcache=kc, vcache=vc, cache_pos=0,
+                                      last_only=True)
         return jnp.argmax(logits[-1]).astype(jnp.int32), kc, vc
 
     @jax.jit
@@ -612,3 +621,51 @@ def import_hf_qwen_vl(sd, vision_cfg: QwenVLVisionConfig,
     if not text_cfg.tie_embeddings:
         text["lm_head"] = tr("lm_head.weight")
     return vision, text
+
+
+# --------------------------------------------------------------------------- #
+# tensor-parallel placement (judge at 7B on a v5e slice)                       #
+# --------------------------------------------------------------------------- #
+def text_param_shardings(params, cfg: QwenVLTextConfig, *,
+                         axis: str = "model"):
+    """Megatron-style PartitionSpecs for the text decoder.
+
+    7B bf16 weights are ~15.2 GB — over one v5e chip's 15.75 GB with a KV
+    cache on top, so the deployed judge (`dpg_evaluation.py:79-124` runs it
+    on one GH200) runs TP here.  Column-parallel q/k/v/gate/up, row-parallel
+    o/down; embeddings, final norm, and the (untied) lm_head replicate
+    (~2.2 GB at 7B — affordable at N ≥ 2, and keeps the greedy-decode argmax
+    local).  The GQA repeat maps kv head i to q heads [i·reps, (i+1)·reps):
+    both shard evenly iff `axis` size divides num_kv_heads (4 at 7B) —
+    use model ∈ {2, 4}.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    col = {"w": P(None, None, axis), "b": P(None, axis)}
+    row_nb = {"w": P(None, axis, None)}
+    specs = {
+        "embed": P(),
+        "ln_f": P(),
+        "layers": {
+            "ln1": P(None), "ln2": P(None),
+            "q": col, "k": col, "v": col,
+            "o": row_nb,
+            "mlp": {"gate": {"w": P(None, None, axis)},
+                    "up": {"w": P(None, None, axis)},
+                    "down": {"w": P(None, axis, None)}},
+        },
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P()
+    return specs
+
+
+def place_text(params, cfg: QwenVLTextConfig, mesh, *, axis: str = "model"):
+    """device_put the text params onto `mesh` with `text_param_shardings`."""
+    from jax.sharding import NamedSharding
+
+    specs = text_param_shardings(params, cfg, axis=axis)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        params, specs,
+        is_leaf=lambda x: isinstance(x, jax.sharding.PartitionSpec))
