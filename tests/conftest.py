@@ -21,6 +21,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA compilation cache (works on the CPU backend): the suite is
+# compile-dominated (the mesh CLI/RL tests build multi-minute programs), and
+# re-runs hit the cache instead — measured 6x on a synthetic repeat, and it
+# survives across processes.  Keyed by HLO + flags hash, so code changes
+# invalidate exactly the programs they touch.  Dir is repo-local and
+# gitignored; only >2 s compiles are cached to bound its size.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir,
+                          ".jax_compile_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
