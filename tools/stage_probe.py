@@ -164,6 +164,66 @@ def main():
         p["encoder"], ecfg, t, im, remat=False), (params, taps, images01),
         rtt)
 
+    # --- heads_pipeline sub-stages (where the zero-flop ~58 ms lives) ---
+    from vist3a_tpu.nn import gaussians as gs_mod
+    from vist3a_tpu.nn import geometry as geo_mod
+
+    b2, s2 = 1, s
+    h2, w2 = hw
+    rawdim = ecfg.raw_gs_dim + 1
+    raw = jax.random.normal(jax.random.key(7), (b2, s2, h2, w2, rawdim),
+                            jnp.float32) * 0.1
+    depth = jnp.exp(jax.random.normal(jax.random.key(8), (b2, s2, h2, w2, 1),
+                                      jnp.float32))
+    dconf = jnp.exp(jax.random.normal(jax.random.key(9), (b2, s2, h2, w2),
+                                      jnp.float32))
+    extrinsic = jnp.tile(jnp.eye(3, 4)[None, None], (b2, s2, 1, 1))
+    fx = 0.8 * w2
+    intr = jnp.tile(jnp.asarray([[fx, 0, w2 / 2], [0, fx, h2 / 2],
+                                 [0, 0, 1]])[None, None], (b2, s2, 1, 1))
+
+    def adapter(raw, depth, dconf, extrinsic, intr):
+        pts = geo_mod.unproject_depth(depth, extrinsic, intr)
+        thresh = jnp.quantile(dconf, ecfg.conf_threshold)
+        conf_valid = dconf > thresh
+        feats = raw[..., : ecfg.raw_gs_dim].reshape(b2, -1, ecfg.raw_gs_dim)
+        means = pts.reshape(b2, -1, 3)
+        mask = conf_valid.reshape(b2, -1)
+        dens = jax.nn.sigmoid(feats[..., 0])
+        opac = gs_mod.map_pdf_to_opacity(dens) * mask
+        g = gs_mod.unified_gaussian_adapter(means, opac, feats[..., 1:],
+                                            ecfg.sh_degree)
+        scene = jnp.clip(jnp.mean(jnp.linalg.norm(means, axis=-1)), 1e-8)
+        return (jnp.sum(g.covariances) + jnp.sum(g.harmonics)
+                + jnp.sum(g.means) + jnp.sum(g.opacities) + scene)
+
+    probe("adapter", adapter, (raw, depth, dconf, extrinsic, intr), rtt)
+
+    # GS-head sub-stages at the deployed 448² scale
+    imgs_flat = jnp.swapaxes(images01, 1, 2).reshape(s, 3, h2, w2) \
+        .transpose(0, 2, 3, 1).astype(jnp.float32)
+    probe("gs_merger7x7", lambda p, im: heads_mod.conv2d(
+        p["encoder"]["gs_head"]["input_merger"], im, padding=3,
+        channels_last=True), (params, imgs_flat), rtt)
+
+    f2 = ecfg.gs.features // 2
+    fused = jax.random.normal(jax.random.key(10), (s, h2 // 2, w2 // 2, f2),
+                              jnp.float32) * 0.1
+    def gs_tail(p, fused, im):
+        out = heads_mod.resize_bilinear_align_corners(
+            fused, (h2, w2), channels_last=True)
+        direct = jax.nn.relu(heads_mod.conv2d(
+            p["encoder"]["gs_head"]["input_merger"], im, padding=3,
+            channels_last=True))
+        out = out + direct
+        out = heads_mod.apply_uv_pos_embed(out, w2, h2, channels_last=True)
+        out = heads_mod.conv2d(p["encoder"]["gs_head"]["output_conv2"][0],
+                               out, padding=1, channels_last=True)
+        return heads_mod.conv2d(p["encoder"]["gs_head"]["output_conv2"][1],
+                                jax.nn.relu(out), channels_last=True)
+
+    probe("gs_tail448", gs_tail, (params, fused, imgs_flat), rtt)
+
 
 if __name__ == "__main__":
     main()
