@@ -768,6 +768,7 @@ def rasterize(
     eps2d: float = 0.3,
     pair_budget: int | None = None,
     interpret: bool | None = None,
+    remat_views: bool = False,
 ):
     """Differentiable multi-view 3DGS rasterization (gsplat-call parity).
 
@@ -779,6 +780,13 @@ def rasterize(
     SLOWER at the deployed scale (245 → 319 ms/view at 2.6M Gaussians):
     the pair pipeline is bandwidth-bound and batching just inflates the
     working set.
+
+    remat_views=True checkpoints each view: under `jax.grad` the per-view
+    residuals (the (16, P2) attrs table + saved tile images, ~350 MB/view
+    at 2.6M gaussians) otherwise accumulate across the whole view loop —
+    13 reward views measured 20.3 GB (> v5e HBM).  Remat holds ONE view's
+    residuals at a time for one extra forward per view; the reward path
+    (`train/reward.calculate_reward`) turns it on.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -807,5 +815,7 @@ def rasterize(
             background, pair_budget, interpret,
             near_plane, far_plane, radius_clip, eps2d)
 
+    if remat_views:
+        one_view = jax.checkpoint(one_view)
     return jax.lax.map(one_view, (viewmats.astype(jnp.float32),
                                   Ks.astype(jnp.float32)))

@@ -28,8 +28,8 @@ class DecoderOutput(NamedTuple):
 
 def render(gaussians: Gaussians, extrinsics_c2w: jnp.ndarray,
            intrinsics_norm: jnp.ndarray, image_shape: tuple[int, int],
-           *, background=None, pair_budget: int | None = None
-           ) -> DecoderOutput:
+           *, background=None, pair_budget: int | None = None,
+           remat_views: bool = False) -> DecoderOutput:
     """extrinsics_c2w: (B, V, 4, 4); intrinsics_norm: (B, V, 3, 3) with
     fx/W-normalized first row, fy/H second (`decoder_splatting_cuda.py:
     81-86`)."""
@@ -46,7 +46,8 @@ def render(gaussians: Gaussians, extrinsics_c2w: jnp.ndarray,
         rgb, dep, alp = rasterize(
             means, covars, harmonics, opacities, viewmats, ks, w, h,
             sh_degree=None, background=bg, near_plane=1e-10,
-            radius_clip=0.1, pair_budget=pair_budget)
+            radius_clip=0.1, pair_budget=pair_budget,
+            remat_views=remat_views)
         return jnp.clip(rgb, 0.0, 1.0).transpose(0, 3, 1, 2), dep, alp
 
     # unrolled scene loop, NOT vmap: the rasterizer's Pallas composite is

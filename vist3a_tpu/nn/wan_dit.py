@@ -288,11 +288,22 @@ def block_apply(p, x, text, temb6, cfg: WanDiTConfig, rope):
 # forward                                                                     #
 # --------------------------------------------------------------------------- #
 def forward(params, latent, timestep, text_embeds,
-            cfg: WanDiTConfig = WAN_1_3B, *, remat: bool = True):
+            cfg: WanDiTConfig = WAN_1_3B, *, remat: bool = True,
+            lora_blocks=None, merge_fn=None):
     """latent: (B, C=16, T, H, W) — model-input (normalized) latent;
     timestep: (B,) float (sigma·1000 under flow matching);
     text_embeds: (B, L, 4096) from UMT5.  Returns predicted velocity,
-    (B, C, T, H, W)."""
+    (B, C, T, H, W).
+
+    lora_blocks/merge_fn: optional stacked LoRA factors for
+    `params["blocks"]` and the merge callable (e.g.
+    `functools.partial(stitch.lora.merge_lora, cfg=...)`).  When given, the
+    merge runs INSIDE the per-block remat, so merged q/k/v/o weights exist
+    only transiently per layer instead of as a full stacked copy — at 14B
+    that copy is 8.4 GB global (~1 GB/chip on a 2×4 mesh) of temp the
+    eager-merge form keeps live through fwd+bwd; it pushed the tp_fsdp SFT
+    program past v5e HBM in the r4 AOT gate.  Backward recomputes the merge
+    per block (rank-8 matmuls, negligible)."""
     b, c, t, hh, ww = latent.shape
     pt, ph, pw = cfg.patch_size
     gt, gh, gw = t // pt, hh // ph, ww // pw
@@ -325,13 +336,24 @@ def forward(params, latent, timestep, text_embeds,
 
     rope = rope_tables(cfg, gt, gh, gw)
 
-    def body(carry, layer_params):
-        fn = block_apply
-        if remat:
-            fn = jax.checkpoint(block_apply, static_argnums=(4,))
-        return fn(layer_params, carry, text, temb6, cfg, rope), None
+    if lora_blocks is None:
+        def apply_one(layer_params, carry):
+            return block_apply(layer_params, carry, text, temb6, cfg, rope)
+        xs = params["blocks"]
+    else:
+        def apply_one(layer_xs, carry):
+            layer_params, layer_lora = layer_xs
+            return block_apply(merge_fn(layer_params, layer_lora), carry,
+                               text, temb6, cfg, rope)
+        xs = (params["blocks"], lora_blocks)
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    if remat:
+        apply_one = jax.checkpoint(apply_one)
+
+    def body(carry, layer_xs):
+        return apply_one(layer_xs, carry), None
+
+    x, _ = jax.lax.scan(body, x, xs)
 
     # head: 2-chunk modulation by the UNPROJECTED time embedding
     mods = mesh_mod.pin(params["scale_shift_table"].astype(jnp.float32)[None]

@@ -163,8 +163,10 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
     perm = jax.random.permutation(k_views, n_views)[:num_render_views]
     tgt_ex = out.extrinsic_c2w[:, perm]
     tgt_k = out.intrinsic_norm[:, perm]
+    # remat per view: 13 views' rasterizer grad residuals measured 20.3 GB
+    # without it (kernels/rasterizer.rasterize docstring)
     rendered = render(out.gaussians, tgt_ex, tgt_k,
-                      (render_size, render_size),
+                      (render_size, render_size), remat_views=True,
                       pair_budget=pair_budget).color[0]     # (V,3,H,W) [0,1]
     rendered_pm1 = rendered * 2.0 - 1.0
     loss_r, _, _ = loss_fn(rendered_pm1, **tkw)

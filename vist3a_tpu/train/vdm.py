@@ -134,7 +134,8 @@ def choose_guidance_scale(key, step: int) -> float:
 # --------------------------------------------------------------------------- #
 def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
             *, num_steps: int, guidance_scale: float, backprop_steps=None,
-            backprop_mask=None, flow_shift: float = 3.0):
+            backprop_mask=None, flow_shift: float = 3.0,
+            lora_blocks=None, merge_fn=None):
     """UniPC CFG rollout with gradient truncation (`train_vdm.py:586-623`):
     the DiT input is stop-gradiented EVERY step; model outputs of steps not
     in `backprop_steps` (+ the forced last step) are stop-gradiented too.
@@ -166,7 +167,8 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
         text = jnp.concatenate([cond, uncond], axis=0).astype(dt)
         ts = jnp.full((x2.shape[0],), t, jnp.float32)
         v = wan_dit.forward(dit_params_merged, x2, ts, text, dit_cfg,
-                            remat=True).astype(jnp.float32)
+                            remat=True, lora_blocks=lora_blocks,
+                            merge_fn=merge_fn).astype(jnp.float32)
         v_c, v_u = jnp.split(v, 2, axis=0)
         return v_u + guidance_scale * (v_c - v_u)
 
@@ -231,20 +233,27 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
         latents0 = jax.random.normal(k_noise, latent_shape, jnp.float32)
 
         def loss_fn(lora):
-            merged = merged_dit(dit_params, lora, cfg)
-            dt = jax.tree_util.tree_leaves(merged)[0].dtype
-            pred = wan_dit.forward(merged, z_sigma.astype(dt), ts,
+            # LoRA merge happens INSIDE the per-block remat (wan_dit.forward
+            # lora_blocks/merge_fn): an eagerly merged stack keeps a full
+            # q/k/v/o copy live through fwd+bwd (8.4 GB global at 14B — it
+            # pushed the tp_fsdp SFT program past v5e HBM in the AOT gate)
+            merge_fn = functools.partial(lora_mod.merge_lora, cfg=cfg.lora)
+            dt = jax.tree_util.tree_leaves(dit_params)[0].dtype
+            pred = wan_dit.forward(dit_params, z_sigma.astype(dt), ts,
                                    sft_text.astype(dt), dit_cfg,
-                                   remat=True).astype(jnp.float32)
+                                   remat=True, lora_blocks=lora,
+                                   merge_fn=merge_fn).astype(jnp.float32)
             diffusion_loss = flow_match.flow_matching_loss(pred, target)
 
             reward_loss = jnp.float32(0.0)
             imgs = ()
             if cfg.enable_rl and reward_loss_fn is not None:
-                lat = rollout(merged, latents0, rl_cond, rl_uncond, dit_cfg,
+                lat = rollout(dit_params, latents0, rl_cond, rl_uncond,
+                              dit_cfg,
                               num_steps=num_steps, guidance_scale=guidance,
                               backprop_mask=bp_mask,
-                              flow_shift=cfg.flow_shift)
+                              flow_shift=cfg.flow_shift,
+                              lora_blocks=lora, merge_fn=merge_fn)
                 lat_un = wan_vae.unnormalize_latents(lat)
                 decoded = wan_vae.decode(vae_params, lat_un, vae_cfg, remat=True)
                 reward_loss, pair = calculate_reward(
