@@ -114,8 +114,7 @@ def _embed_text(prompts):
     return jnp.stack(out)
 
 
-@pytest.mark.parametrize("how", ["fsdp", "tp", "tp_fsdp", "replicated"])
-def test_train_vdm_run_on_mesh_matches_single_device(how):
+def _vdm_setup():
     scfg = ca.StitchedConfig(encoder=tiny_encoder_cfg(),
                              stitch_layer_index=2,
                              conv_spec="conv3d_k5x3x3_o32_s1x2x2_p2x1x1",
@@ -127,22 +126,41 @@ def test_train_vdm_run_on_mesh_matches_single_device(how):
     vae = wan_vae.init(jax.random.key(1), VAE)
     dit = wan_dit.init(jax.random.key(0), DIT)
     cfg = vdm.VDMTrainConfig(enable_rl=False)
+    return scfg, stitched, vae, dit, cfg
+
+
+def _vdm_one_run(dit_arg, mesh_arg, setup):
+    scfg, stitched, vae, dit, cfg = setup
+    state = vdm.init_train_state(jax.random.key(4), dit, cfg)
+    _, hist = train_vdm.run(
+        state, dit_arg, vae, stitched,
+        text_loader=FakeTextLoader(2), video_loader=FakeVideoLoader(2),
+        embed_text=_embed_text, reward_loss_fn=None,
+        dit_cfg=DIT, vae_cfg=VAE, scfg=scfg, cfg=cfg, num_steps=2,
+        key=jax.random.key(5), latent_shape=(1, 16, 2, 8, 8),
+        render_size=56, mesh=mesh_arg)
+    return hist
+
+
+@pytest.fixture(scope="module")
+def vdm_single_baseline():
+    """The single-device SFT reference losses, computed ONCE for all four
+    placement params (it is the same program every time; it used to run —
+    and recompile, behind the autouse cache clear — per param)."""
+    setup = _vdm_setup()
+    return _vdm_one_run(setup[3], None, setup)
+
+
+@pytest.mark.parametrize("how", ["fsdp", "tp", "tp_fsdp", "replicated"])
+def test_train_vdm_run_on_mesh_matches_single_device(how,
+                                                     vdm_single_baseline):
+    setup = _vdm_setup()
+    dit = setup[3]
     mesh = mesh_mod.create_mesh(mesh_mod.MeshConfig(data=4, model=2))
     dit_placed = train_vdm.place_dit(dit, DIT, mesh, how)
 
-    def one_run(dit_arg, mesh_arg):
-        state = vdm.init_train_state(jax.random.key(4), dit, cfg)
-        _, hist = train_vdm.run(
-            state, dit_arg, vae, stitched,
-            text_loader=FakeTextLoader(2), video_loader=FakeVideoLoader(2),
-            embed_text=_embed_text, reward_loss_fn=None,
-            dit_cfg=DIT, vae_cfg=VAE, scfg=scfg, cfg=cfg, num_steps=2,
-            key=jax.random.key(5), latent_shape=(1, 16, 2, 8, 8),
-            render_size=56, mesh=mesh_arg)
-        return hist
-
-    hist_mesh = one_run(dit_placed, mesh)
-    hist_single = one_run(dit, None)
+    hist_mesh = _vdm_one_run(dit_placed, mesh, setup)
+    hist_single = vdm_single_baseline
     assert len(hist_mesh) == len(hist_single) == 2
     for hm, hs in zip(hist_mesh, hist_single):
         assert np.isfinite(hm["total_loss"])
