@@ -82,11 +82,18 @@ def check_14b_sft(mesh):
 
     def sft_step(dit, lora, opt_state, z_sigma, tstep, text, target):
         def loss_fn(lora):
-            merged = vdm.merged_dit(dit, lora, vcfg)
-            dt = jax.tree_util.tree_leaves(merged)[0].dtype
-            pred = wan_dit.forward(merged, z_sigma.astype(dt), tstep,
+            # in-body LoRA merge (what train/vdm does): the eagerly merged
+            # stack kept an 8.4 GB q/k/v/o copy live and pushed this program
+            # to 16.01 GiB/chip (over v5e HBM) in the r4 gate
+            import functools
+
+            from vist3a_tpu.stitch import lora as lora_mod
+            merge_fn = functools.partial(lora_mod.merge_lora, cfg=vcfg.lora)
+            dt = jax.tree_util.tree_leaves(dit)[0].dtype
+            pred = wan_dit.forward(dit, z_sigma.astype(dt), tstep,
                                    text.astype(dt), cfg,
-                                   remat=True).astype(jnp.float32)
+                                   remat=True, lora_blocks=lora,
+                                   merge_fn=merge_fn).astype(jnp.float32)
             return flow_match.flow_matching_loss(pred, target)
 
         loss, grads = jax.value_and_grad(loss_fn)(lora)

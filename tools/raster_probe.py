@@ -111,9 +111,10 @@ def main():
             def pairs(means, covars, opac, viewmat, K):
                 p = R.project_gaussians(means, covars, viewmat, K, W, H)
                 op = jnp.where(p.valid, opac, 0.0)
-                gid, ct, cf, cl, bb = R.build_pairs(
+                gid, visits, bb = R.build_pairs(
                     p, ntx, nty, budget, extra_valid=op >= R.ALPHA_MIN)
-                return jnp.sum(gid) + jnp.sum(ct) + jnp.sum(bb)
+                return (jnp.sum(gid) + jnp.sum(visits.tile)
+                        + jnp.sum(visits.lo) + jnp.sum(bb))
             dt = _time(pairs, means, covars, opac, viewmat, K,
                        iters=args.iters, rtt=rtt)
             print(f"pairs:   {dt*1e3:8.1f} ms", flush=True)
@@ -130,7 +131,7 @@ def main():
                     [p.mean2d[:, 0], p.mean2d[:, 1], p.conic[:, 0],
                      p.conic[:, 1], p.conic[:, 2], op,
                      colors[:, 0], colors[:, 1], colors[:, 2], p.depth], 1)
-                gid, ct, cf, cl, bb = R.build_pairs(
+                gid, visits, bb = R.build_pairs(
                     p, ntx, nty, budget, extra_valid=op >= R.ALPHA_MIN)
                 out = R._gather_pair_rows(rows, gid,
                                           jax.lax.stop_gradient(bb))

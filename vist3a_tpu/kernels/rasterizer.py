@@ -59,6 +59,24 @@ def _cdiv(a, b):
 # --------------------------------------------------------------------------- #
 # 1. projection + SH (XLA, differentiable)                                    #
 # --------------------------------------------------------------------------- #
+class Visits(NamedTuple):
+    """Composite-kernel schedule over the sorted pair stream (build_pairs).
+
+    One grid step per (tile, chunk) intersection: `tile`/`chunk` pick the
+    output/input blocks, [`lo`, `hi`) masks the chunk lanes belonging to
+    the tile, `first`/`last` bracket a tile's accumulator lifetime, and
+    `chunk_first` marks the first visit of each chunk (the backward's
+    cotangent block is zero-initialized there and accumulated on shared-
+    boundary revisits)."""
+    tile: jnp.ndarray          # (V,) int32; n_tiles = padding/junk row
+    chunk: jnp.ndarray         # (V,) int32; n_chunks = junk chunk
+    lo: jnp.ndarray            # (V,) int32 in [0, CHUNK]
+    hi: jnp.ndarray            # (V,) int32 in [0, CHUNK]
+    first: jnp.ndarray         # (V,) int32 0/1
+    last: jnp.ndarray          # (V,) int32 0/1
+    chunk_first: jnp.ndarray   # (V,) int32 0/1
+
+
 class Projected(NamedTuple):
     mean2d: jnp.ndarray   # (G, 2) pixel coords
     conic: jnp.ndarray    # (G, 3) upper-tri inverse 2D covariance (a, b, c)
@@ -190,17 +208,17 @@ def _run_lookup(offsets, size):
 
 
 def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
-    """(gaussian, tile) pair list, sorted by (tile, depth), chunk-padded.
+    """(gaussian, tile) pair list, sorted by (tile, depth).
 
-    Returns (gid_final (P2,) int32 [-1 = padding], chunk_tile/first/last
-    (n_chunks,) int32, bounds_bwd) with P2 = pair_budget + n_tiles·CHUNK
-    static.  gid values index gaussians in their ORIGINAL order: the packed
-    path sorts by a (tile, depth-rank) key but carries the original id
-    through the sort as payload, so the caller's attribute table needs NO
-    depth permutation (r3's `_permute_rows` — a G-sized 40-byte row gather
-    forward + argsort-gather backward — measured ~70/~90 ms at 2.6M
-    gaussians on v5e; carrying 4 more payload bytes through the sort and
-    3 more through the meta gather is ~free by the gather_probe numbers).
+    Returns (gid_final (P1 + CHUNK,) int32 [-1 = truncated/junk], a
+    `Visits` schedule for the composite kernel, bounds_bwd).  gid values
+    index gaussians in their ORIGINAL order: the packed path sorts by a
+    (tile, depth-rank) key but carries the original id through the sort as
+    payload, so the caller's attribute table needs NO depth permutation
+    (r3's `_permute_rows` — a G-sized 40-byte row gather forward +
+    argsort-gather backward — measured ~70/~90 ms at 2.6M gaussians on
+    v5e; carrying 4 more payload bytes through the sort and 3 more through
+    the meta gather is ~free by the gather_probe numbers).
 
     Every P-sized gather/scatter here costs ~100 ms at 10M pairs on v5e, so
     the pipeline is arranged to touch the slot space as few times as
@@ -246,9 +264,12 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
         base = y0 * ntx + x0
         meta = ((base << (w_bits + np_bits)) | (w << np_bits) | n_per_g)
         meta_o = meta[order]
+        # n_per_g rides inside meta — recover the permuted counts by masking
+        # meta_o instead of a second G-sized permutation gather (~12 ms at
+        # 2.6M, tools/gather_probe.py)
         offsets = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
-            jnp.cumsum(n_per_g[order])]).astype(jnp.int32)
+            jnp.cumsum(meta_o & ((1 << np_bits) - 1))]).astype(jnp.int32)
         total = offsets[g]
         gid = _run_lookup(offsets, p1)
         gid_c = jnp.clip(gid, 0, g - 1)
@@ -308,49 +329,54 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
             tile_s, jnp.arange(n_tiles + 1, dtype=jnp.int32)
         ).astype(jnp.int32)
 
-    # chunk-pad every tile segment (≥1 chunk so empty tiles still emit bg)
-    counts = bounds[1:] - bounds[:n_tiles]
-    seg_start = bounds[:n_tiles]
-    padded = jnp.maximum(_cdiv_arr(counts) * CHUNK, CHUNK)
-    pstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                              jnp.cumsum(padded)]).astype(jnp.int32)
+    # ---------------------------------------------------------------- #
+    # visit list: the composite kernel consumes the RAW sorted stream   #
+    # ---------------------------------------------------------------- #
+    # (r4) The former chunk-padded re-layout materialized a P2-sized slot
+    # space through one more P-sized gather + masks (~22 ms at 2.6M pairs
+    # per tools/pairs probe).  Instead the kernel walks (tile, chunk)
+    # VISITS of the sorted stream: tile t's segment [bounds[t],
+    # bounds[t+1]) spans chunks c0..c1 and each visit carries its in-chunk
+    # lane range [lo, hi), so a chunk shared by adjacent tiles is visited
+    # once per tile with disjoint lane masks.  Visit count is statically
+    # ≤ n_chunks + n_tiles (each tile adds at most one shared-boundary
+    # revisit; empty tiles get one masked visit so they still emit
+    # background).  Padding visits target the junk tile row (n_tiles) and
+    # a junk chunk appended past the stream (index n_chunks), so they can
+    # never clobber live state.  Output-chunk indices are monotone across
+    # visits (bounds are non-decreasing), so every chunk's visits form one
+    # consecutive run — the revisit-VMEM contract the kernels rely on.
+    n_chunks = p1 // CHUNK
+    n_visits = n_chunks + n_tiles
+    c0 = bounds[:n_tiles] // CHUNK
+    c1 = jnp.maximum(-(-bounds[1:] // CHUNK) - 1, c0)
+    nv = c1 - c0 + 1
+    vstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(nv)]).astype(jnp.int32)
+    vt = _run_lookup(vstart, n_visits)
+    vidx = jnp.arange(n_visits, dtype=jnp.int32)
+    in_use = vidx < vstart[n_tiles]
+    vt_c = jnp.clip(vt, 0, n_tiles - 1)
+    r = vidx - vstart[vt_c]
+    vc = c0[vt_c] + r
+    lo = jnp.clip(bounds[vt_c] - vc * CHUNK, 0, CHUNK)
+    hi = jnp.clip(bounds[vt_c + 1] - vc * CHUNK, 0, CHUNK)
+    vfirst = ((r == 0) & in_use).astype(jnp.int32)
+    vlast = ((r == nv[vt_c] - 1) & in_use).astype(jnp.int32)
+    vtile = jnp.where(in_use, vt_c, n_tiles).astype(jnp.int32)
+    vc = jnp.where(in_use, vc, n_chunks).astype(jnp.int32)
+    lo = jnp.where(in_use, lo, 0).astype(jnp.int32)
+    hi = jnp.where(in_use, hi, 0).astype(jnp.int32)
+    prev_vc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), vc[:-1]])
+    vchunk_first = (vc != prev_vc).astype(jnp.int32)
+    visits = Visits(vtile, vc, lo, hi, vfirst, vlast, vchunk_first)
 
-    p2 = pair_budget + n_tiles * CHUNK
-    n_chunks = p2 // CHUNK
-
-    # chunk → tile map via the same run-lookup on chunk counts
-    chunk_off = pstart // CHUNK
-    chunk_tile = _run_lookup(chunk_off, n_chunks)
-    in_use = jnp.arange(n_chunks, dtype=jnp.int32) < chunk_off[n_tiles]
-    chunk_tile = jnp.where(in_use & (chunk_tile >= 0), chunk_tile,
-                           n_tiles).astype(jnp.int32)
-
-    # Final slot layout by INVERSE GATHER, not scatter: within tile t the
-    # final slots [pstart[t], pstart[t]+counts[t]) are the sorted positions
-    # shifted by delta[t] = pstart[t] − seg_start[t], and the shift is
-    # constant per tile — so per-CHUNK table lookups (n_chunks-sized, the
-    # tile tables are tiny) broadcast to pair granularity with no P-sized
-    # table gather, leaving ONE P-sized 4-byte gather from gid_s.  The
-    # scatter form this replaces measured 130 ms at 10.4M pairs on v5e
-    # (scatters serialize; the gather is ~3× cheaper).
-    ext = jnp.zeros((1,), jnp.int32)
-    delta_c = jnp.concatenate([pstart[:n_tiles] - seg_start, ext])[chunk_tile]
-    pstart_c = jnp.concatenate([pstart[:n_tiles], ext])[chunk_tile]
-    counts_c = jnp.concatenate([counts, ext])[chunk_tile]
-
-    def per_pair(v):
-        return jnp.broadcast_to(v[:, None], (n_chunks, CHUNK)).reshape(-1)
-
-    slot2 = jnp.arange(p2, dtype=jnp.int32)
-    src = slot2 - per_pair(delta_c)
-    in_seg = (slot2 - per_pair(pstart_c)) < per_pair(counts_c)
-    gid_final = jnp.where(
-        in_seg & per_pair(chunk_tile < n_tiles),
-        gid_s[jnp.clip(src, 0, p1 - 1)], -1)
-    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), chunk_tile[:-1]])
-    nxt = jnp.concatenate([chunk_tile[1:], jnp.full((1,), -2, jnp.int32)])
-    chunk_first = (chunk_tile != prev).astype(jnp.int32)
-    chunk_last = (chunk_tile != nxt).astype(jnp.int32)
+    # the kernel-facing pair stream: sorted gids, truncated slots marked
+    # -1 (their gathered rows zero out, their backward cotangents sort
+    # past every real segment), plus one junk chunk for padding visits
+    gid_final = jnp.concatenate([
+        jnp.where(slot < jnp.minimum(total, p1), gid_s, -1),
+        jnp.full((CHUNK,), -1, jnp.int32)])
     # Per-gid segment bounds of the backward's gid-sorted pair stream, free
     # from the forward's structure: gaussian i (in gid-value space) emits
     # slots [offsets[i], offsets[i+1]) and the budget truncates the slot
@@ -372,17 +398,13 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
             jnp.cumsum(counts_orig)]).astype(jnp.int32)
     else:
         bounds_bwd = surv
-    return gid_final, chunk_tile, chunk_first, chunk_last, bounds_bwd
-
-
-def _cdiv_arr(x):
-    return -(-x // CHUNK)
+    return gid_final, visits, bounds_bwd
 
 
 # --------------------------------------------------------------------------- #
 # 3. Pallas composite (custom VJP)                                            #
 # --------------------------------------------------------------------------- #
-# attrs row layout (16, P2):
+# attrs row layout (16, P1 + CHUNK):
 #   0 mean_x | 1 mean_y | 2 conic_a | 3 conic_b | 4 conic_c | 5 opacity
 #   6 r | 7 g | 8 b | 9 depth | 10 one | 11..15 zero  (rows 6..13 = payload)
 # out channel layout (n_tiles+1, 256, 8): 0-2 rgb | 3 depth | 4 alpha
@@ -445,12 +467,17 @@ def _transmittance(alpha, t_carry, done):
     return w, t_excl, live, t_new, done_new
 
 
-def _fwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_ref, acc, t_s, *,
-                ntx, n_tiles):
-    c = pl.program_id(0)
-    tile_id = ct_ref[c]
+def _lane_mask(lo, hi):
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    return (lane >= lo) & (lane < hi)
 
-    @pl.when(cf_ref[c] == 1)
+
+def _fwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
+                attrs_ref, out_ref, acc, t_s, *, ntx, n_tiles):
+    v = pl.program_id(0)
+    tile_id = vt_ref[v]
+
+    @pl.when(vf_ref[v] == 1)
     def _():
         acc[:] = jnp.zeros_like(acc)
         t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -461,6 +488,9 @@ def _fwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_ref, acc, t_s, *,
         attrs = attrs_ref[:]                              # (16, C)
         px, py = _pixel_grid(tile_id, ntx)
         alpha, _, _, _, _, _ = _chunk_alpha(attrs, px, py)
+        # only the visit's lane range belongs to this tile (a chunk shared
+        # across a tile boundary is visited once per tile)
+        alpha = jnp.where(_lane_mask(lo_ref[v], hi_ref[v]), alpha, 0.0)
         w, _, _, t_new, done = _transmittance(
             alpha, t_s[:, 0:1], t_s[:, 1:2])
         payload = attrs[6:14, :]                          # (8, C)
@@ -470,25 +500,32 @@ def _fwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_ref, acc, t_s, *,
         t_s[:, 0:1] = t_new
         t_s[:, 1:2] = done
 
-    @pl.when(cl_ref[c] == 1)
+    @pl.when(vl_ref[v] == 1)
     def _():
         # write T_N into channel 5 (no in-kernel scatter on TPU: iota mask)
         col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
         out_ref[0] = jnp.where(col == 5, t_s[:, 0:1], acc[:])
 
 
-def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
+def _bwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
+                attrs_ref, out_tile_ref, g_tile_ref,
                 dattrs_ref, t_s, q_s, *, ntx, n_tiles):
-    c = pl.program_id(0)
-    tile_id = ct_ref[c]
+    v = pl.program_id(0)
+    tile_id = vt_ref[v]
 
-    @pl.when(cf_ref[c] == 1)
+    @pl.when(vf_ref[v] == 1)
     def _():
         t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
         t_s[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
         q_s[:] = jnp.zeros_like(q_s)
 
-    dattrs_ref[:] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
+    # zero the chunk's cotangent block exactly once; a chunk shared across
+    # a tile boundary is revisited CONSECUTIVELY (visit chunks are
+    # monotone), so its VMEM block persists and the second visit
+    # accumulates its disjoint lanes
+    @pl.when(vcf_ref[v] == 1)
+    def _():
+        dattrs_ref[:] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
 
     @pl.when(tile_id < n_tiles)
     def _():
@@ -498,6 +535,8 @@ def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
 
         px, py = _pixel_grid(tile_id, ntx)
         alpha, _, a_raw, ok, dx, dy = _chunk_alpha(attrs, px, py)
+        vmask = _lane_mask(lo_ref[v], hi_ref[v])
+        alpha = jnp.where(vmask, alpha, 0.0)
         w, t_excl, live, t_new, done = _transmittance(
             alpha, t_s[:, 0:1], t_s[:, 1:2])
 
@@ -512,7 +551,7 @@ def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
         o_total = jnp.sum(g_out[:, :5] * out[:, :5], axis=1, keepdims=True)
         g5_tn = g_out[:, 5:6] * out[:, 5:6]                # cotangent via T_N
 
-        mask = live & ok & (a_raw < ALPHA_CLAMP)
+        mask = live & ok & (a_raw < ALPHA_CLAMP) & vmask
         dalpha = jnp.where(
             mask,
             gp * t_excl - (o_total - q_incl + g5_tn) / (1.0 - alpha),
@@ -534,22 +573,25 @@ def _bwd_kernel(ct_ref, cf_ref, cl_ref, attrs_ref, out_tile_ref, g_tile_ref,
             g_out, w, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)            # (8, C)
 
-        # assemble (ATTR_ROWS, C) without scatter: stack + concat on sublanes
+        # assemble (ATTR_ROWS, C) without scatter: stack + concat on
+        # sublanes.  ACCUMULATE: every term above is zero outside the
+        # visit's lane mask, so a shared-boundary chunk's two visits add
+        # their disjoint contributions into the persisting VMEM block.
         top = jnp.stack([dmx, dmy, da, db, dc, dop], axis=0)   # (6, C)
         tail = jnp.zeros((ATTR_ROWS - 14, CHUNK), jnp.float32)
-        dattrs_ref[:] = jnp.concatenate([top, dpayload, tail], axis=0)
+        dattrs_ref[:] = dattrs_ref[:] + jnp.concatenate(
+            [top, dpayload, tail], axis=0)
 
         t_s[:, 0:1] = t_new
         t_s[:, 1:2] = done
         q_s[:, 0:1] = q_incl[:, -1:]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _composite(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
-               interpret):
-    """attrs (16, P2) → per-tile images (n_tiles+1, 256, 8); last block junk."""
-    return _composite_fwd(attrs, chunk_tile, chunk_first, chunk_last,
-                          ntx, n_tiles, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite(attrs, visits, ntx, n_tiles, interpret):
+    """attrs (16, P1 + CHUNK) over the sorted stream (last chunk junk) →
+    per-tile images (n_tiles+1, 256, 8); last row junk."""
+    return _composite_fwd(attrs, visits, ntx, n_tiles, interpret)[0]
 
 
 @cached_partitioned
@@ -559,17 +601,17 @@ def _composite_fwd_part(ntx, n_tiles, interpret):
     B=1 rollout renders in the RL step).  Without the wrapper, ANY
     multi-device program containing the raw Mosaic call fails to lower
     (see `kernels/partitioning`)."""
-    def fun(chunk_tile, chunk_first, chunk_last, attrs):
-        n_chunks = attrs.shape[1] // CHUNK
+    def fun(vt, vc, lo, hi, vf, vl, vcf, attrs):
+        n_visits = vt.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_chunks,),
+            num_scalar_prefetch=7,
+            grid=(n_visits,),
             in_specs=[
                 pl.BlockSpec((ATTR_ROWS, CHUNK),
-                             lambda c, ct, cf, cl: (0, c)),
+                             lambda v, vt, vc, *_: (0, vc[v])),
             ],
             out_specs=pl.BlockSpec(
-                (1, PIX, 8), lambda c, ct, cf, cl: (ct[c], 0, 0)),
+                (1, PIX, 8), lambda v, vt, vc, *_: (vt[v], 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((PIX, 8), jnp.float32),
                 pltpu.VMEM((PIX, 128), jnp.float32),
@@ -581,35 +623,33 @@ def _composite_fwd_part(ntx, n_tiles, interpret):
             out_shape=jax.ShapeDtypeStruct((n_tiles + 1, PIX, 8),
                                            jnp.float32),
             interpret=interpret,
-        )(chunk_tile, chunk_first, chunk_last, attrs)
+        )(vt, vc, lo, hi, vf, vl, vcf, attrs)
 
     return fun, 1, False
 
 
-def _composite_fwd(attrs, chunk_tile, chunk_first, chunk_last, ntx, n_tiles,
-                   interpret):
-    out = _composite_fwd_part(ntx, n_tiles, interpret)(
-        chunk_tile, chunk_first, chunk_last, attrs)
-    return out, (attrs, chunk_tile, chunk_first, chunk_last, out)
+def _composite_fwd(attrs, visits, ntx, n_tiles, interpret):
+    out = _composite_fwd_part(ntx, n_tiles, interpret)(*visits, attrs)
+    return out, (attrs, visits, out)
 
 
 @cached_partitioned
 def _composite_bwd_part(ntx, n_tiles, interpret):
-    def fun(chunk_tile, chunk_first, chunk_last, attrs, out, g):
-        n_chunks = attrs.shape[1] // CHUNK
+    def fun(vt, vc, lo, hi, vf, vl, vcf, attrs, out, g):
+        n_visits = vt.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_chunks,),
+            num_scalar_prefetch=7,
+            grid=(n_visits,),
             in_specs=[
                 pl.BlockSpec((ATTR_ROWS, CHUNK),
-                             lambda c, ct, cf, cl: (0, c)),
+                             lambda v, vt, vc, *_: (0, vc[v])),
                 pl.BlockSpec((1, PIX, 8),
-                             lambda c, ct, cf, cl: (ct[c], 0, 0)),
+                             lambda v, vt, vc, *_: (vt[v], 0, 0)),
                 pl.BlockSpec((1, PIX, 8),
-                             lambda c, ct, cf, cl: (ct[c], 0, 0)),
+                             lambda v, vt, vc, *_: (vt[v], 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (ATTR_ROWS, CHUNK), lambda c, ct, cf, cl: (0, c)),
+                (ATTR_ROWS, CHUNK), lambda v, vt, vc, *_: (0, vc[v])),
             scratch_shapes=[
                 pltpu.VMEM((PIX, 128), jnp.float32),
                 pltpu.VMEM((PIX, 128), jnp.float32),
@@ -620,16 +660,16 @@ def _composite_bwd_part(ntx, n_tiles, interpret):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
             interpret=interpret,
-        )(chunk_tile, chunk_first, chunk_last, attrs, out, g)
+        )(vt, vc, lo, hi, vf, vl, vcf, attrs, out, g)
 
     return fun, 1, False
 
 
 def _composite_bwd(ntx, n_tiles, interpret, res, g):
-    attrs, chunk_tile, chunk_first, chunk_last, out = res
+    attrs, visits, out = res
     dattrs = _composite_bwd_part(ntx, n_tiles, interpret)(
-        chunk_tile, chunk_first, chunk_last, attrs, out, g)
-    return (dattrs, None, None, None)
+        *visits, attrs, out, g)
+    return (dattrs, None)
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -689,7 +729,7 @@ def _gather_pair_rows_bwd(res, drows):
     key = jnp.where(gid >= 0, gid, g)
     sorted_ops = jax.lax.sort(
         (key,) + tuple(drows[:, i] for i in range(ncol)), num_keys=1)
-    d_s = jnp.stack(sorted_ops[1:], axis=1)              # (P2, ncol)
+    d_s = jnp.stack(sorted_ops[1:], axis=1)              # (P, ncol)
     cs0 = jnp.concatenate(
         [jnp.zeros((1, ncol), d_s.dtype), jnp.cumsum(d_s, axis=0)], axis=0)
     seg = cs0[bounds]                                    # (G+1, ncol)
@@ -730,18 +770,17 @@ def _rasterize_view(means, covars, colors, opacities, viewmat, K,
     # for ANY σ when op < ALPHA_MIN, and such gaussians receive exactly zero
     # gradients there — dropping their pairs is a pure win (the encoder's
     # conf-mask zeros ~10% of opacities; post-opt scenes far more).
-    gid, c_tile, c_first, c_last, bounds_bwd = build_pairs(
+    gid, visits, bounds_bwd = build_pairs(
         proj, ntx, nty, pair_budget, extra_valid=op >= ALPHA_MIN)
     pair_ok = (gid >= 0).astype(jnp.float32)
-    p2 = gid.shape[0]
+    p1c = gid.shape[0]
     rows = _gather_pair_rows(attrs_rows, gid,
-                             jax.lax.stop_gradient(bounds_bwd)).T  # (10, P2)
+                             jax.lax.stop_gradient(bounds_bwd)).T  # (10, P1c)
     attrs_s = jnp.concatenate(
         [rows, pair_ok[None],
-         jnp.zeros((ATTR_ROWS - 11, p2), jnp.float32)], axis=0)  # (16, P2)
+         jnp.zeros((ATTR_ROWS - 11, p1c), jnp.float32)], axis=0)  # (16, P1c)
 
-    out = _composite(attrs_s, c_tile, c_first, c_last, ntx, n_tiles,
-                     interpret)[:n_tiles]
+    out = _composite(attrs_s, visits, ntx, n_tiles, interpret)[:n_tiles]
     img = out.reshape(nty, ntx, TILE, TILE, 8).transpose(0, 2, 1, 3, 4)
     img = img.reshape(nty * TILE, ntx * TILE, 8)[:height, :width]
 
@@ -782,7 +821,7 @@ def rasterize(
     working set.
 
     remat_views=True checkpoints each view: under `jax.grad` the per-view
-    residuals (the (16, P2) attrs table + saved tile images, ~350 MB/view
+    residuals (the (16, P) attrs table + saved tile images, ~350 MB/view
     at 2.6M gaussians) otherwise accumulate across the whole view loop —
     13 reward views measured 20.3 GB (> v5e HBM).  Remat holds ONE view's
     residuals at a time for one extra forward per view; the reward path
