@@ -113,8 +113,8 @@ def main():
                 op = jnp.where(p.valid, opac, 0.0)
                 gid, visits, bb = R.build_pairs(
                     p, ntx, nty, budget, extra_valid=op >= R.ALPHA_MIN)
-                return (jnp.sum(gid) + jnp.sum(visits.tile)
-                        + jnp.sum(visits.lo) + jnp.sum(bb))
+                return (jnp.sum(gid) + jnp.sum(visits.tilechunk)
+                        + jnp.sum(visits.meta) + jnp.sum(bb))
             dt = _time(pairs, means, covars, opac, viewmat, K,
                        iters=args.iters, rtt=rtt)
             print(f"pairs:   {dt*1e3:8.1f} ms", flush=True)

@@ -62,19 +62,27 @@ def _cdiv(a, b):
 class Visits(NamedTuple):
     """Composite-kernel schedule over the sorted pair stream (build_pairs).
 
-    One grid step per (tile, chunk) intersection: `tile`/`chunk` pick the
-    output/input blocks, [`lo`, `hi`) masks the chunk lanes belonging to
-    the tile, `first`/`last` bracket a tile's accumulator lifetime, and
-    `chunk_first` marks the first visit of each chunk (the backward's
-    cotangent block is zero-initialized there and accumulated on shared-
-    boundary revisits)."""
-    tile: jnp.ndarray          # (V,) int32; n_tiles = padding/junk row
-    chunk: jnp.ndarray         # (V,) int32; n_chunks = junk chunk
-    lo: jnp.ndarray            # (V,) int32 in [0, CHUNK]
-    hi: jnp.ndarray            # (V,) int32 in [0, CHUNK]
-    first: jnp.ndarray         # (V,) int32 0/1
-    last: jnp.ndarray          # (V,) int32 0/1
-    chunk_first: jnp.ndarray   # (V,) int32 0/1
+    One grid step per (tile, chunk) intersection, BIT-PACKED into two
+    int32 words per visit: the whole schedule rides scalar-prefetch SMEM
+    (1 MB/core on v5e) and seven unpacked int32 arrays overflow it at the
+    4×G pair budget (81,920 chunks → 2.22 MB, a measured compile failure;
+    packed it is 0.65 MB).
+
+    `tilechunk` = tile << 18 | chunk: `tile` picks the output block
+    (n_tiles = padding/junk row), `chunk` the input block (n_chunks =
+    junk chunk past the stream).  `meta` = lo | hi << 8 | first << 16 |
+    last << 17 | chunk_first << 18: [`lo`, `hi`) masks the chunk lanes
+    belonging to the tile, `first`/`last` bracket a tile's accumulator
+    lifetime, and `chunk_first` marks the first visit of each chunk (the
+    backward's cotangent block is zero-initialized there and accumulated
+    on shared-boundary revisits).  Limits: n_tiles < 8192 (≤1448² images),
+    n_chunks < 2¹⁸ (≤33.5M pairs) — asserted statically in build_pairs."""
+    tilechunk: jnp.ndarray     # (V,) int32: tile << 18 | chunk
+    meta: jnp.ndarray          # (V,) int32: lo | hi<<8 | f<<16 | l<<17 | cf<<18
+
+
+_VC_BITS = 18
+_VC_MASK = (1 << _VC_BITS) - 1
 
 
 class Projected(NamedTuple):
@@ -369,7 +377,11 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     hi = jnp.where(in_use, hi, 0).astype(jnp.int32)
     prev_vc = jnp.concatenate([jnp.full((1,), -1, jnp.int32), vc[:-1]])
     vchunk_first = (vc != prev_vc).astype(jnp.int32)
-    visits = Visits(vtile, vc, lo, hi, vfirst, vlast, vchunk_first)
+    assert n_tiles < (1 << (31 - _VC_BITS)) and n_chunks + 1 <= (1 << _VC_BITS), (
+        f"visit packing overflow: n_tiles={n_tiles} n_chunks={n_chunks}")
+    visits = Visits(
+        (vtile << _VC_BITS) | vc,
+        lo | (hi << 8) | (vfirst << 16) | (vlast << 17) | (vchunk_first << 18))
 
     # the kernel-facing pair stream: sorted gids, truncated slots marked
     # -1 (their gathered rows zero out, their backward cotangents sort
@@ -472,12 +484,13 @@ def _lane_mask(lo, hi):
     return (lane >= lo) & (lane < hi)
 
 
-def _fwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
-                attrs_ref, out_ref, acc, t_s, *, ntx, n_tiles):
+def _fwd_kernel(tc_ref, meta_ref, attrs_ref, out_ref, acc, t_s,
+                *, ntx, n_tiles):
     v = pl.program_id(0)
-    tile_id = vt_ref[v]
+    tile_id = tc_ref[v] >> _VC_BITS
+    meta = meta_ref[v]
 
-    @pl.when(vf_ref[v] == 1)
+    @pl.when(((meta >> 16) & 1) == 1)
     def _():
         acc[:] = jnp.zeros_like(acc)
         t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
@@ -490,7 +503,8 @@ def _fwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
         alpha, _, _, _, _, _ = _chunk_alpha(attrs, px, py)
         # only the visit's lane range belongs to this tile (a chunk shared
         # across a tile boundary is visited once per tile)
-        alpha = jnp.where(_lane_mask(lo_ref[v], hi_ref[v]), alpha, 0.0)
+        alpha = jnp.where(_lane_mask(meta & 0xFF, (meta >> 8) & 0xFF),
+                          alpha, 0.0)
         w, _, _, t_new, done = _transmittance(
             alpha, t_s[:, 0:1], t_s[:, 1:2])
         payload = attrs[6:14, :]                          # (8, C)
@@ -500,20 +514,20 @@ def _fwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
         t_s[:, 0:1] = t_new
         t_s[:, 1:2] = done
 
-    @pl.when(vl_ref[v] == 1)
+    @pl.when(((meta >> 17) & 1) == 1)
     def _():
         # write T_N into channel 5 (no in-kernel scatter on TPU: iota mask)
         col = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1)
         out_ref[0] = jnp.where(col == 5, t_s[:, 0:1], acc[:])
 
 
-def _bwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
-                attrs_ref, out_tile_ref, g_tile_ref,
+def _bwd_kernel(tc_ref, meta_ref, attrs_ref, out_tile_ref, g_tile_ref,
                 dattrs_ref, t_s, q_s, *, ntx, n_tiles):
     v = pl.program_id(0)
-    tile_id = vt_ref[v]
+    tile_id = tc_ref[v] >> _VC_BITS
+    meta = meta_ref[v]
 
-    @pl.when(vf_ref[v] == 1)
+    @pl.when(((meta >> 16) & 1) == 1)
     def _():
         t_s[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
         t_s[:, 1:2] = jnp.zeros((PIX, 1), jnp.float32)
@@ -523,7 +537,7 @@ def _bwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
     # a tile boundary is revisited CONSECUTIVELY (visit chunks are
     # monotone), so its VMEM block persists and the second visit
     # accumulates its disjoint lanes
-    @pl.when(vcf_ref[v] == 1)
+    @pl.when(((meta >> 18) & 1) == 1)
     def _():
         dattrs_ref[:] = jnp.zeros((ATTR_ROWS, CHUNK), jnp.float32)
 
@@ -535,7 +549,7 @@ def _bwd_kernel(vt_ref, vc_ref, lo_ref, hi_ref, vf_ref, vl_ref, vcf_ref,
 
         px, py = _pixel_grid(tile_id, ntx)
         alpha, _, a_raw, ok, dx, dy = _chunk_alpha(attrs, px, py)
-        vmask = _lane_mask(lo_ref[v], hi_ref[v])
+        vmask = _lane_mask(meta & 0xFF, (meta >> 8) & 0xFF)
         alpha = jnp.where(vmask, alpha, 0.0)
         w, t_excl, live, t_new, done = _transmittance(
             alpha, t_s[:, 0:1], t_s[:, 1:2])
@@ -601,17 +615,17 @@ def _composite_fwd_part(ntx, n_tiles, interpret):
     B=1 rollout renders in the RL step).  Without the wrapper, ANY
     multi-device program containing the raw Mosaic call fails to lower
     (see `kernels/partitioning`)."""
-    def fun(vt, vc, lo, hi, vf, vl, vcf, attrs):
-        n_visits = vt.shape[0]
+    def fun(tc, meta, attrs):
+        n_visits = tc.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=2,
             grid=(n_visits,),
             in_specs=[
                 pl.BlockSpec((ATTR_ROWS, CHUNK),
-                             lambda v, vt, vc, *_: (0, vc[v])),
+                             lambda v, tc, meta: (0, tc[v] & _VC_MASK)),
             ],
             out_specs=pl.BlockSpec(
-                (1, PIX, 8), lambda v, vt, vc, *_: (vt[v], 0, 0)),
+                (1, PIX, 8), lambda v, tc, meta: (tc[v] >> _VC_BITS, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((PIX, 8), jnp.float32),
                 pltpu.VMEM((PIX, 128), jnp.float32),
@@ -623,7 +637,7 @@ def _composite_fwd_part(ntx, n_tiles, interpret):
             out_shape=jax.ShapeDtypeStruct((n_tiles + 1, PIX, 8),
                                            jnp.float32),
             interpret=interpret,
-        )(vt, vc, lo, hi, vf, vl, vcf, attrs)
+        )(tc, meta, attrs)
 
     return fun, 1, False
 
@@ -635,21 +649,21 @@ def _composite_fwd(attrs, visits, ntx, n_tiles, interpret):
 
 @cached_partitioned
 def _composite_bwd_part(ntx, n_tiles, interpret):
-    def fun(vt, vc, lo, hi, vf, vl, vcf, attrs, out, g):
-        n_visits = vt.shape[0]
+    def fun(tc, meta, attrs, out, g):
+        n_visits = tc.shape[0]
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=2,
             grid=(n_visits,),
             in_specs=[
                 pl.BlockSpec((ATTR_ROWS, CHUNK),
-                             lambda v, vt, vc, *_: (0, vc[v])),
+                             lambda v, tc, meta: (0, tc[v] & _VC_MASK)),
                 pl.BlockSpec((1, PIX, 8),
-                             lambda v, vt, vc, *_: (vt[v], 0, 0)),
+                             lambda v, tc, meta: (tc[v] >> _VC_BITS, 0, 0)),
                 pl.BlockSpec((1, PIX, 8),
-                             lambda v, vt, vc, *_: (vt[v], 0, 0)),
+                             lambda v, tc, meta: (tc[v] >> _VC_BITS, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (ATTR_ROWS, CHUNK), lambda v, vt, vc, *_: (0, vc[v])),
+                (ATTR_ROWS, CHUNK), lambda v, tc, meta: (0, tc[v] & _VC_MASK)),
             scratch_shapes=[
                 pltpu.VMEM((PIX, 128), jnp.float32),
                 pltpu.VMEM((PIX, 128), jnp.float32),
@@ -660,7 +674,7 @@ def _composite_bwd_part(ntx, n_tiles, interpret):
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
             interpret=interpret,
-        )(vt, vc, lo, hi, vf, vl, vcf, attrs, out, g)
+        )(tc, meta, attrs, out, g)
 
     return fun, 1, False
 
