@@ -151,3 +151,36 @@ def test_make_clip_text_features(files):
     out = fn("a photo of a cat")
     assert out.shape == (16,)
     np.testing.assert_allclose(np.linalg.norm(out), 1.0, rtol=1e-5)
+
+
+def test_fix_text_mojibake_repair():
+    """ftfy-subset repair (`clip_tokenizer.fix_text`): UTF-8-as-cp1252 /
+    latin-1 mojibake (single and double encoded), html entities, NFC — while
+    clean text (incl. real curly quotes and accents) passes through.
+    Mojibake inputs are constructed programmatically from their clean forms
+    so the test file itself stays ASCII-safe."""
+    from vist3a_tpu.data.clip_tokenizer import fix_text
+
+    def moji_cp1252(s):
+        out = []
+        for b in s.encode("utf-8"):
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    cafe = "Caf\N{LATIN SMALL LETTER E WITH ACUTE}"
+    quoted = ("\N{LEFT DOUBLE QUOTATION MARK}quoted"
+              "\N{RIGHT DOUBLE QUOTATION MARK}")
+    dont = "don\N{RIGHT SINGLE QUOTATION MARK}t"
+    assert fix_text(moji_cp1252(cafe)) == cafe
+    assert fix_text(moji_cp1252(moji_cp1252(cafe))) == cafe   # double-encoded
+    assert fix_text(moji_cp1252(quoted)) == quoted
+    assert fix_text(dont.encode("utf-8").decode("latin-1")) == dont
+    # clean text is untouched
+    assert fix_text(quoted) == quoted
+    assert fix_text("p&amp;b") == "p&b"
+    assert fix_text("plain text stays") == "plain text stays"
+    nfd = "Cafe\N{COMBINING ACUTE ACCENT}"
+    assert fix_text(nfd) == cafe                              # NFC normalize

@@ -10,9 +10,13 @@ module reimplements it so prompt → ids → `nn.clip.text_features` runs fully
 in-framework from checkpoint-local files (`vocab.json`+`merges.txt`, or the
 single openai `bpe_simple_vocab_16e6.txt(.gz)` merges file).
 
-Deviation (documented): no ftfy mojibake repair — input is unicode-cleaned
-with the whitespace-normalize+lowercase step only.  transformers without
-ftfy installed uses the same effective path (BasicTokenizer cleanup).
+Text repair: `fix_text` reimplements the ftfy subset the open_clip tokenizer
+actually exercises (`open_clip/tokenizer.py basic_clean`: `ftfy.fix_text` +
+double `html.unescape`): HTML entity unescape, repair of UTF-8 text that was
+decoded as cp1252/latin-1 (the dominant mojibake class, applied up to twice
+for double-encoding), and NFC normalization.  Exotic ftfy fixers (lossy
+curl-quote heuristics, terminal escapes) are out of scope — clean text and
+repaired text tokenize identically to the reference either way.
 """
 
 from __future__ import annotations
@@ -56,6 +60,50 @@ def _get_pairs(word):
 
 def _whitespace_clean(text: str) -> str:
     return re.sub(r"\s+", " ", text).strip()
+
+
+# Typical lead characters of UTF-8 bytes mis-decoded as cp1252/latin-1:
+# Ã/Â (0xC3/0xC2), â (0xE2, opens punctuation like â€œ), plus the cp1252
+# mappings of UTF-8 continuation bytes (€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ).
+_MOJIBAKE_HINT = re.compile("[ÃÂâ€œ“”™]")
+
+
+def _encode_sloppy_cp1252(s: str) -> bytes | None:
+    """cp1252 encode with the 5 unassigned bytes taken from latin-1 (ftfy's
+    'sloppy-windows-1252'); None if any char has no single-byte form."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o > 0xFF:
+                return None
+            out.append(o)
+    return bytes(out)
+
+
+def fix_text(text: str) -> str:
+    """Minimal ftfy equivalent (see module docstring): html unescape ×2,
+    UTF-8-as-cp1252 mojibake repair (≤2 rounds), NFC normalization."""
+    import html
+    import unicodedata
+
+    text = html.unescape(html.unescape(text))
+    for _ in range(2):
+        if not _MOJIBAKE_HINT.search(text):
+            break
+        raw = _encode_sloppy_cp1252(text)
+        if raw is None:
+            break
+        try:
+            fixed = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            break
+        if fixed == text:
+            break
+        text = fixed
+    return unicodedata.normalize("NFC", text)
 
 
 class CLIPTokenizer:
@@ -142,7 +190,7 @@ class CLIPTokenizer:
 
     def encode(self, text: str) -> list:
         """Text → BPE ids, no special tokens."""
-        text = _whitespace_clean(text).lower()
+        text = _whitespace_clean(fix_text(text)).lower()
         ids = []
         for token in re.findall(_PAT, text):
             token = "".join(self.byte_encoder[b]
