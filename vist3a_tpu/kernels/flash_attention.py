@@ -33,7 +33,9 @@ from vist3a_tpu.kernels.partitioning import cached_partitioned
 # Tuned on TPU v5e at the VGGT global-attention shape (N=13377, H=16, D=64):
 # natural 1024/1024 → 13.6 ms vs 46 ms fused-XLA (3.4×); transposed
 # bound-max kernel 2048/1536 → 7.41 ms (vs 7.90 at bk=1024, 8.27 at
-# 1024/1024).  Short sequences still collapse to one rounded block (the
+# 1024/1024).  r4 re-sweep confirmed 2048/1536 optimal: 1536/1536 8.77,
+# 1536/2304 8.83, and every bk≥2304 config fails to lower (VMEM) — don't
+# re-tune.  Short sequences still collapse to one rounded block (the
 # `bq+256` rule below), so the frame shape (N=1029 → 1056/1056, 0.98 ms)
 # is unaffected by the defaults.
 DEFAULT_BQ = 1024
