@@ -98,3 +98,27 @@ def test_vit_block_taps_offsets():
     # 1 cls + 4 reg + 4 patches
     assert taps["enc_blocks_1"].shape == (2, 9, 16)
     assert feats["patch"].shape == (2, 4, 16)
+
+
+def test_run_trunk_tap_modes_agree():
+    """ys-mode (one unbroken scan, taps via scan outputs — the inference
+    decode form) must equal split-mode (scan segments — the training form),
+    and `auto` must pick each correctly (remat→split, no-remat→ys)."""
+    cfg = agg.AggregatorConfig(embed_dim=32, depth=5, num_heads=2,
+                               taps=(1, 3, 4), attn_impl="xla")
+    params = agg.init(jax.random.key(0), cfg)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 2, 4 + 5, 32)), jnp.float32)
+    out_s, taps_s = agg.run_trunk(params, tokens, cfg, (2, 2), remat=False,
+                                  tap_mode="split")
+    out_y, taps_y = agg.run_trunk(params, tokens, cfg, (2, 2), remat=False,
+                                  tap_mode="ys")
+    out_a, taps_a = agg.run_trunk(params, tokens, cfg, (2, 2), remat=True)
+    np.testing.assert_allclose(np.asarray(out_y), np.asarray(out_s),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_s),
+                               atol=1e-6)
+    assert len(taps_y) == len(taps_s) == len(taps_a) == 3
+    for ty, ts, ta in zip(taps_y, taps_s, taps_a):
+        np.testing.assert_allclose(np.asarray(ty), np.asarray(ts), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ta), np.asarray(ts), atol=1e-6)

@@ -121,6 +121,7 @@ def run_trunk(
     *,
     start_layer: int = 0,
     remat: bool = True,
+    tap_mode: str = "auto",
 ):
     """Run aggregator layers [start_layer, depth) over (B,S,P,C) tokens.
 
@@ -128,6 +129,19 @@ def run_trunk(
     concat(frame_out, global_out) at each tap layer ≥ start_layer.
     `start_layer` supports nothing here (the full model always uses 0) but
     keeps symmetry with the chopped stitched path.
+
+    tap_mode selects how taps are captured:
+      * "split" — break the scan at tap layers (segments + explicit tap
+        pairs).  Memory-friendliest under remat: only the 4 tap outputs
+        survive the trunk, so this is the training form.
+      * "ys" — ONE unbroken scan over all layer pairs, emitting each pair's
+        concat(frame, global) as a scan output and indexing the 4 tap
+        layers afterwards.  Holds a (depth,B,S,P,2C) buffer (~1.3 GB bf16
+        at the 13-view 448p decode — freed before the heads run) but
+        avoids the segment slicing/re-dispatch overhead, measured ~21 ms
+        of the decode aggregator stage (r4 `tools/gap_probe.py`:
+        split 358.9 ms vs unbroken 337.6 ms on v5e).
+      * "auto" — "ys" when remat is off (inference), else "split".
     """
     blk_cfg = cfg.block_config()
     # trunk compute dtype follows the params (bf16 deployed): without this
@@ -144,6 +158,19 @@ def run_trunk(
 
     pair_scan = jax.checkpoint(pair_fn) if remat else pair_fn
 
+    taps = [t for t in sorted(cfg.taps) if t >= start_layer]
+    if tap_mode == "ys" or (tap_mode == "auto" and not remat and taps):
+        fb = slice_stack(params["frame_blocks"], start_layer, cfg.depth)
+        gb = slice_stack(params["global_blocks"], start_layer, cfg.depth)
+
+        def body_ys(carry, layer_params):
+            fp, gp = layer_params
+            out, frame_out = pair_scan(fp, gp, carry)
+            return out, jnp.concatenate([frame_out, out], axis=-1)
+
+        tokens, ys = jax.lax.scan(body_ys, tokens, (fb, gb))
+        return tokens, [ys[t - start_layer] for t in taps]
+
     def scan_segment(tok, lo, hi):
         """Layers [lo, hi) without taps, as one scan."""
         if hi <= lo:
@@ -159,7 +186,6 @@ def run_trunk(
         tok, _ = jax.lax.scan(body, tok, (fb, gb))
         return tok
 
-    taps = [t for t in sorted(cfg.taps) if t >= start_layer]
     outs = []
     cur = start_layer
     for t in taps:

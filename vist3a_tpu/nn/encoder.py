@@ -175,9 +175,13 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
                                       psi, cfg.depth, (b, s), remat=remat)
         pts = unproject_depth(depth, extrinsic, intrinsic)    # (B,S,H,W,3)
 
-    # confidence mask (global quantile over all views/pixels)
+    # confidence mask (global quantile over all views/pixels).  Computed
+    # once and shared with the opacity shift below — the two sites use the
+    # identical expression but XLA does NOT CSE the 2.6M-value sort across
+    # them (measured 2.8 ms each, r4 `tools/gap_probe.py`).
+    thresh = (jnp.quantile(depth_conf, cfg.conf_threshold)
+              if cfg.render_conf or cfg.opacity_conf else None)
     if cfg.render_conf:
-        thresh = jnp.quantile(depth_conf, cfg.conf_threshold)
         conf_valid = depth_conf > thresh
     else:
         conf_valid = jnp.ones_like(depth_conf, dtype=bool)
@@ -201,8 +205,7 @@ def heads_pipeline(params: dict, cfg: EncoderConfig, taps: list,
     densities = jax.nn.sigmoid(feats[..., 0])
     opacity = map_pdf_to_opacity(densities)
     if cfg.opacity_conf:
-        shift = jnp.quantile(depth_conf, cfg.conf_threshold)
-        opacity = opacity * jax.nn.sigmoid(depth_conf.reshape(b, -1) - shift)
+        opacity = opacity * jax.nn.sigmoid(depth_conf.reshape(b, -1) - thresh)
     opacity = opacity * mask
 
     gaussians = unified_gaussian_adapter(means, opacity, feats[..., 1:],
