@@ -101,9 +101,9 @@ def test_vit_block_taps_offsets():
 
 
 def test_run_trunk_tap_modes_agree():
-    """ys-mode (one unbroken scan, taps via scan outputs — the inference
-    decode form) must equal split-mode (scan segments — the training form),
-    and `auto` must pick each correctly (remat→split, no-remat→ys)."""
+    """ys-mode and carry-mode (one unbroken scan — the inference decode
+    forms) must equal split-mode (scan segments — the training form), and
+    `auto` must pick correctly (remat→split, no-remat→carry)."""
     cfg = agg.AggregatorConfig(embed_dim=32, depth=5, num_heads=2,
                                taps=(1, 3, 4), attn_impl="xla")
     params = agg.init(jax.random.key(0), cfg)
@@ -113,12 +113,14 @@ def test_run_trunk_tap_modes_agree():
                                   tap_mode="split")
     out_y, taps_y = agg.run_trunk(params, tokens, cfg, (2, 2), remat=False,
                                   tap_mode="ys")
+    out_c, taps_c = agg.run_trunk(params, tokens, cfg, (2, 2), remat=False,
+                                  tap_mode="carry")
     out_a, taps_a = agg.run_trunk(params, tokens, cfg, (2, 2), remat=True)
-    np.testing.assert_allclose(np.asarray(out_y), np.asarray(out_s),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_s),
-                               atol=1e-6)
-    assert len(taps_y) == len(taps_s) == len(taps_a) == 3
-    for ty, ts, ta in zip(taps_y, taps_s, taps_a):
-        np.testing.assert_allclose(np.asarray(ty), np.asarray(ts), atol=1e-6)
-        np.testing.assert_allclose(np.asarray(ta), np.asarray(ts), atol=1e-6)
+    for o in (out_y, out_c, out_a):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(out_s),
+                                   atol=1e-6)
+    assert len(taps_y) == len(taps_c) == len(taps_a) == len(taps_s) == 3
+    for ty, tc, ts, ta in zip(taps_y, taps_c, taps_s, taps_a):
+        for t in (ty, tc, ta):
+            np.testing.assert_allclose(np.asarray(t), np.asarray(ts),
+                                       atol=1e-6)

@@ -44,12 +44,13 @@ def _scalarize(out):
     return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
 
-def probe(name, fn, args, rtt, iters=4):
-    f = jax.jit(fn)
-    float(_scalarize(f(*args)))
+def probe(name, fn, args, rtt, iters=4, scalarize=None):
+    sc = scalarize or _scalarize
+    f = jax.jit(lambda *a: sc(fn(*a)))
+    float(f(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        float(_scalarize(f(*args)))
+        float(f(*args))
     dt = (time.perf_counter() - t0) / iters - rtt
     print(json.dumps({"probe": name, "ms": round(dt * 1e3, 2)}), flush=True)
     return dt
@@ -89,7 +90,21 @@ def main():
 
         return fn
 
-    probe("agg/taps4", trunk((4, 11, 17, 23), False), (ap, tokens), rtt)
+    def trunk_mode(taps, mode):
+        cfg2 = dataclasses.replace(acfg, taps=taps)
+
+        def fn(ap, tok):
+            return agg_mod.run_trunk(ap, tok, cfg2, (gh, gw), remat=False,
+                                     tap_mode=mode)
+
+        return fn
+
+    probe("agg/taps4_ys", trunk_mode((4, 11, 17, 23), "ys"), (ap, tokens),
+          rtt)
+    probe("agg/taps4_carry", trunk_mode((4, 11, 17, 23), "carry"),
+          (ap, tokens), rtt)
+    probe("agg/taps4_split", trunk_mode((4, 11, 17, 23), "split"),
+          (ap, tokens), rtt)
     probe("agg/taps0", trunk((), False), (ap, tokens), rtt)
     probe("agg/taps4_remat", trunk((4, 11, 17, 23), True), (ap, tokens), rtt)
 
@@ -122,6 +137,72 @@ def main():
           lambda pr, t: heads_mod.camera_head_apply(pr["camera_head"], t,
                                                     ecfg.camera),
           (enc, taps[-1]), rtt)
+
+    # ---- heads bisection: attribute the pipeline-vs-parts gap ----
+    from vist3a_tpu.nn.gaussians import (map_pdf_to_opacity,
+                                         unified_gaussian_adapter)
+    from vist3a_tpu.nn.geometry import (pose_encoding_to_extri_intri,
+                                        unproject_depth)
+
+    hdt = jnp.dtype(ecfg.head_dtype)
+    taps_h = [t.astype(hdt) for t in taps]
+    psi_ = ecfg.agg.patch_start_idx
+    hw = (448, 448)
+
+    # bench-realistic pipeline: only the outputs the decode consumes
+    # (anchor_feats/gs_conf DCE'd, as in bench.py's program)
+    def bench_outputs(out):
+        g = out.gaussians
+        return (jnp.sum(g.means) + jnp.sum(g.harmonics)
+                + jnp.sum(g.opacities) + jnp.sum(g.covariances)
+                + jnp.sum(out.depth)
+                + jnp.sum(out.extrinsic_c2w)).astype(jnp.float32)
+
+    probe("heads/pipeline_bench",
+          lambda pr, t, im: enc_mod.heads_pipeline(pr, ecfg, t, im,
+                                                   remat=False),
+          (enc, taps, images01), rtt, scalarize=bench_outputs)
+
+    # depth-side chain: DPT depth head + unproject + quantile + scale
+    probe("heads/dpt_depth",
+          lambda pr, t: heads_mod.dpt_apply(pr["depth_head"], t, hw, psi_,
+                                            ecfg.depth, (b, s)),
+          (enc, taps_h), rtt)
+
+    pose_enc = jax.random.normal(jax.random.key(20), (b, s, 9),
+                                 jnp.float32) * 0.1
+
+    def depth_chain(pr, t, pe):
+        extr, intr = pose_encoding_to_extri_intri(pe, hw)
+        depth, conf = heads_mod.dpt_apply(pr["depth_head"], t, hw, psi_,
+                                          ecfg.depth, (b, s))
+        pts = unproject_depth(depth, extr, intr)
+        thresh = jnp.quantile(conf, ecfg.conf_threshold)
+        scale = jnp.clip(
+            jnp.mean(jnp.linalg.norm(pts.reshape(b, -1, 3), axis=-1)), 1e-8)
+        return pts, conf > thresh, scale
+
+    probe("heads/depth_chain", depth_chain, (enc, taps_h, pose_enc), rtt)
+
+    # GS side: head alone, then raw→Gaussians assembly alone
+    probe("heads/gs_head",
+          lambda pr, t, im: heads_mod.gs_head_apply(pr["gs_head"], t, im,
+                                                    psi_, ecfg.gs),
+          (enc, taps_h, images01), rtt)
+
+    raw = jax.random.normal(jax.random.key(21), (b, s, 448, 448, 84),
+                            hdt) * 0.1
+    means_in = jax.random.normal(jax.random.key(22), (b, s, 448, 448, 3),
+                                 jnp.float32)
+
+    def assembly(raw, means):
+        feats = raw[..., : ecfg.raw_gs_dim].astype(jnp.float32)
+        feats = feats.reshape(b, -1, ecfg.raw_gs_dim)
+        opac = map_pdf_to_opacity(jax.nn.sigmoid(feats[..., 0]))
+        return unified_gaussian_adapter(means.reshape(b, -1, 3), opac,
+                                        feats[..., 1:], ecfg.sh_degree)
+
+    probe("heads/assembly", assembly, (raw, means_in), rtt)
 
 
 if __name__ == "__main__":

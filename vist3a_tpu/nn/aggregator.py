@@ -133,15 +133,23 @@ def run_trunk(
     tap_mode selects how taps are captured:
       * "split" — break the scan at tap layers (segments + explicit tap
         pairs).  Memory-friendliest under remat: only the 4 tap outputs
-        survive the trunk, so this is the training form.
+        survive the trunk, so this is the training form.  Re-slicing the
+        stacked params at segment boundaries costs one full param pass
+        (~2.4 GB bf16) per call: measured 351.3 ms vs 335.7 unbroken at
+        the 13-view 448p decode shape (r4 `tools/gap_probe.py`).
       * "ys" — ONE unbroken scan over all layer pairs, emitting each pair's
         concat(frame, global) as a scan output and indexing the 4 tap
-        layers afterwards.  Holds a (depth,B,S,P,2C) buffer (~1.3 GB bf16
-        at the 13-view 448p decode — freed before the heads run) but
-        avoids the segment slicing/re-dispatch overhead, measured ~21 ms
-        of the decode aggregator stage (r4 `tools/gap_probe.py`:
-        split 358.9 ms vs unbroken 337.6 ms on v5e).
-      * "auto" — "ys" when remat is off (inference), else "split".
+        layers afterwards.  Avoids the segment slicing but holds a
+        (depth,B,S,P,2C) buffer live (~2.7 GB bf16 at the decode shape) —
+        measured to give back most of the isolated win inside the full
+        decode, whose workspace already sits near the 15.75 GB HBM.
+      * "carry" — ONE unbroken scan collecting taps into an
+        (n_taps+1,B,S,P,2C) carry buffer via dynamic_update_index_in_dim
+        (each layer writes slot tap_index, or the dummy last slot for
+        non-tap layers; the update is in-place on the donated carry).
+        Same write traffic as "ys", 1/5 the live memory — the inference
+        form.
+      * "auto" — "carry" when remat is off (inference), else "split".
     """
     blk_cfg = cfg.block_config()
     # trunk compute dtype follows the params (bf16 deployed): without this
@@ -159,17 +167,38 @@ def run_trunk(
     pair_scan = jax.checkpoint(pair_fn) if remat else pair_fn
 
     taps = [t for t in sorted(cfg.taps) if t >= start_layer]
-    if tap_mode == "ys" or (tap_mode == "auto" and not remat and taps):
+    unbroken = tap_mode in ("ys", "carry") or (
+        tap_mode == "auto" and not remat and taps)
+    if unbroken:
         fb = slice_stack(params["frame_blocks"], start_layer, cfg.depth)
         gb = slice_stack(params["global_blocks"], start_layer, cfg.depth)
 
-        def body_ys(carry, layer_params):
-            fp, gp = layer_params
-            out, frame_out = pair_scan(fp, gp, carry)
-            return out, jnp.concatenate([frame_out, out], axis=-1)
+        if tap_mode == "ys":
+            def body_ys(carry, layer_params):
+                fp, gp = layer_params
+                out, frame_out = pair_scan(fp, gp, carry)
+                return out, jnp.concatenate([frame_out, out], axis=-1)
 
-        tokens, ys = jax.lax.scan(body_ys, tokens, (fb, gb))
-        return tokens, [ys[t - start_layer] for t in taps]
+            tokens, ys = jax.lax.scan(body_ys, tokens, (fb, gb))
+            return tokens, [ys[t - start_layer] for t in taps]
+
+        n_taps = len(taps)
+        slot = np.full((cfg.depth - start_layer,), n_taps, np.int32)
+        for i, t in enumerate(taps):
+            slot[t - start_layer] = i
+        tapbuf = jnp.zeros((n_taps + 1, b, s, p, 2 * c), dt)
+
+        def body_carry(carry, xs):
+            tok, buf = carry
+            (fp, gp), sl = xs
+            out, frame_out = pair_scan(fp, gp, tok)
+            cat = jnp.concatenate([frame_out, out], axis=-1)
+            buf = jax.lax.dynamic_update_index_in_dim(buf, cat, sl, 0)
+            return (out, buf), None
+
+        (tokens, tapbuf), _ = jax.lax.scan(
+            body_carry, (tokens, tapbuf), ((fb, gb), jnp.asarray(slot)))
+        return tokens, [tapbuf[i] for i in range(n_taps)]
 
     def scan_segment(tok, lo, hi):
         """Layers [lo, hi) without taps, as one scan."""
