@@ -225,12 +225,92 @@ def check_rl_step_lowering(mesh):
                              sharding=rep),
         jax.ShapeDtypeStruct((1, 5, dit_cfg.text_dim), jnp.float32,
                              sharding=rep),
-        jax.ShapeDtypeStruct((3,), jnp.float32, sharding=rep),
+        jax.ShapeDtypeStruct((3,), jnp.int32, sharding=rep),
         (txt, txt),
         shaped({"pick": pick_abs, "pe": pick_abs}, rep),
         jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
         key, key, key, key).compile()
     return report("RL step FSDP (reduced shapes)", compiled)
+
+
+def check_rl_step_deployed(mesh):
+    """DEPLOYED-scale RL reward step (the flagship reward-aligned mode at the
+    shapes the reference actually trains, `train_vdm.py:296-310,566-637`):
+    1.3B DiT FSDP-placed over "data", one 13-frame 512p SFT clip per data
+    rank, 50-step UniPC rollout with affine-replay gradient truncation
+    (`train/vdm.rollout`), full Wan VAE decode, 448p 13-view stitched decode
+    + Pallas render (per-view remat), real-size PickScore CLIP-H/14-224 +
+    DFN5B ViT-H/14-378 reward towers.  The per-chip memory_analysis() of
+    this compile IS the deployment claim for the ≥4-chip FSDP mode."""
+    from vist3a_tpu.nn import clip as clip_mod
+    from vist3a_tpu.nn import encoder as enc_mod
+    from vist3a_tpu.nn import wan_vae
+    from vist3a_tpu.stitch import chopped_anysplat as ca
+    from vist3a_tpu.train import reward as reward_mod
+    from vist3a_tpu.train.vdm import _vdm_step_jit
+
+    dit_cfg = wan_dit.WAN_1_3B
+    vae_cfg = wan_vae.WanVAEConfig()
+    scfg = ca.StitchedConfig()
+    rcfg = reward_mod.RewardConfig()
+    vcfg = vdm.VDMTrainConfig(enable_rl=True)
+    rep = NamedSharding(mesh, P())
+    dp = NamedSharding(mesh, P("data"))
+    b = mesh.shape["data"]
+
+    dit_abs = jax.eval_shape(lambda k: wan_dit.init(k, dit_cfg, jnp.bfloat16),
+                             jax.random.key(0))
+    dit_sh = jax.tree_util.tree_map(
+        lambda a, s: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=s),
+        dit_abs, mesh_mod.fsdp_shardings(dit_abs, mesh))
+    state_abs = jax.eval_shape(
+        lambda k: vdm.init_train_state(k, {"blocks": dit_abs["blocks"]},
+                                       vcfg), jax.random.key(1))
+    vae_abs = jax.eval_shape(lambda k: wan_vae.init(k, vae_cfg),
+                             jax.random.key(2))
+    stitched_abs = jax.eval_shape(
+        lambda k: {"encoder": enc_mod.cast_trunk_bf16(
+                       enc_mod.init(k, scfg.encoder)),
+                   "stitch_conv": ca.init_stitch_conv(k, scfg)},
+        jax.random.key(3))
+    pick_abs = jax.eval_shape(
+        lambda k: clip_mod.init(k, rcfg.pick_cfg, jnp.bfloat16),
+        jax.random.key(4))
+    pe_abs = jax.eval_shape(
+        lambda k: clip_mod.init(k, rcfg.pe_cfg, jnp.bfloat16),
+        jax.random.key(5))
+    txt = jax.ShapeDtypeStruct((1, rcfg.pick_cfg.projection_dim),
+                               jnp.float32, sharding=rep)
+
+    loss_fn = reward_mod.make_loss_fn(None, None, logit_scale=100.0,
+                                      cfg=rcfg)
+    fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, vcfg,
+                       vdm._loss_token(loss_fn),
+                       vcfg.rollout_steps_high,       # 50: the largest variant
+                       (1, 16, 4, 64, 64), 448, None)
+    key = jax.ShapeDtypeStruct((), jax.eval_shape(
+        lambda: jax.random.key(0)).dtype, sharding=rep)
+    with mesh:
+        compiled = fn.lower(
+            shaped(state_abs, rep), dit_sh, shaped(vae_abs, rep),
+            shaped(stitched_abs, rep),
+            jax.ShapeDtypeStruct((b, 3, 13, 512, 512), jnp.float32,
+                                 sharding=dp),
+            jax.ShapeDtypeStruct((b, 226, dit_cfg.text_dim), jnp.float32,
+                                 sharding=dp),
+            jax.ShapeDtypeStruct((1, 226, dit_cfg.text_dim), jnp.float32,
+                                 sharding=rep),
+            jax.ShapeDtypeStruct((1, 226, dit_cfg.text_dim), jnp.float32,
+                                 sharding=rep),
+            jax.ShapeDtypeStruct((3,), jnp.int32, sharding=rep),
+            (txt, txt),
+            shaped({"pick": pick_abs, "pe": pe_abs}, rep),
+            jax.ShapeDtypeStruct((), jnp.float32, sharding=rep),
+            key, key, key, key).compile()
+    peak = report("RL step FSDP (deployed scale)", compiled)
+    assert peak <= 15.75, (
+        f"deployed RL step needs {peak:.2f} GiB/chip > v5e 15.75")
+    return peak
 
 
 def check_qwen_judge_tp(devs):
@@ -301,11 +381,19 @@ def main():
     mesh = Mesh(devs.reshape(data, model), ("data", "model"))
     print(f"topology {topology}: {devs.size} devices, "
           f"mesh data={data} model={model}")
-    check_rl_step_lowering(mesh)
-    check_14b_tp_denoise(mesh)
-    check_14b_sft(mesh)
-    check_qwen_judge_tp(devs)
-    print("AOT multi-chip gate: ALL OK")
+    checks = {
+        "rl": lambda: check_rl_step_lowering(mesh),
+        "denoise14b": lambda: check_14b_tp_denoise(mesh),
+        "sft14b": lambda: check_14b_sft(mesh),
+        "deployed": lambda: check_rl_step_deployed(mesh),
+        "qwen": lambda: check_qwen_judge_tp(devs),
+    }
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    for name, run in checks.items():
+        if only is None or name == only:
+            run()
+    print("AOT multi-chip gate: ALL OK" if only is None
+          else f"AOT gate [{only}]: OK")
 
 
 if __name__ == "__main__":

@@ -317,3 +317,77 @@ def sample_scan(model_fn: Callable, latents: jnp.ndarray,
     (x, _, _, _), _ = jax.lax.scan(
         body, (latents, latents, zeros, zeros), xs)
     return x
+
+
+# --------------------------------------------------------------------------- #
+# record + affine replay: the memory-sane truncated-rollout form              #
+# --------------------------------------------------------------------------- #
+# `sample_scan(backprop_mask=...)` matches the reference's semantics but is a
+# memory trap under jit: the mask is TRACED, so XLA cannot DCE the backward of
+# the un-chosen steps' model calls — every rollout step keeps its (remat'd)
+# model residuals live (~750 MB/step at deployed 1.3B scale ⇒ ~37 GB for a
+# 50-step rollout; the dominant term of the 58.7 GB single-chip RL figure).
+# The reference's torch Python loop simply doesn't RUN the un-chosen steps
+# under grad (`train_vdm.py:586-623`).  The TPU-native equivalent exploits
+# that the whole UniPC chain is elementwise-AFFINE in the model outputs once
+# the model inputs are detached (which the truncated rollout does anyway):
+#
+#   1. `sample_scan_record`: one no-grad scan, recording each step's model
+#      input x_i and guided output v_i (N×2 small latents, ~260 MB at N=50);
+#   2. re-evaluate the model WITH grad only on the K chosen steps' recorded
+#      inputs (gathered at traced indices — K is static, the draw is not);
+#   3. `replay_affine`: re-run the (cheap, elementwise) affine chain on the
+#      recorded v-stack with the K rows spliced in differentiably.
+#
+# Gradients are mathematically identical to the masked form (the model input
+# is detached every step in both), and the value is bitwise the recorded
+# rollout's; residuals shrink from N model calls to K.
+def sample_scan_record(model_fn: Callable, latents: jnp.ndarray,
+                       cfg: UniPCConfig = UniPCConfig()):
+    """No-grad denoise scan recording per-step model inputs and outputs.
+
+    Returns (x_final, x_stack, v_stack) — all stop-gradiented; x_stack[i] is
+    the (detached) model input at step i, v_stack[i] the model output."""
+    coeffs = precompute_coeffs(cfg)
+
+    def body(carry, per):
+        x, last, m1, m2 = carry
+        x_in = jax.lax.stop_gradient(x)
+        v = jax.lax.stop_gradient(model_fn(x_in, per["timesteps"]))
+        m_this = x - per["sigmas"] * v
+        x_c = (per["C_cx"] * last - per["C_cm0"] * m1
+               - per["C_hist"] * (m2 - m1) - per["C_new"] * (m_this - m1))
+        x_next = (per["P_cx"] * x_c - per["P_cm0"] * m_this
+                  - per["P_cd1"] * (m1 - m_this))
+        return (x_next, x_c, m_this, m1), (x_in, v)
+
+    zeros = jnp.zeros_like(latents)
+    (x, _, _, _), (x_stack, v_stack) = jax.lax.scan(
+        body, (latents, latents, zeros, zeros), coeffs)
+    return jax.lax.stop_gradient(x), x_stack, v_stack
+
+
+def replay_affine(v_stack: jnp.ndarray, latents: jnp.ndarray,
+                  cfg: UniPCConfig = UniPCConfig()):
+    """Differentiable replay of the UniPC chain with model outputs GIVEN.
+
+    v_stack: (num_steps, *latents.shape) model outputs (some rows spliced in
+    differentiably).  Identical arithmetic to `sample_scan`'s body, so the
+    value equals the recorded rollout's and gradient flows through v_stack
+    and the affine chain exactly as the truncated rollout requires."""
+    coeffs = precompute_coeffs(cfg)
+    xs = {**coeffs, "v": v_stack}
+
+    def body(carry, per):
+        x, last, m1, m2 = carry
+        m_this = x - per["sigmas"] * per["v"]
+        x_c = (per["C_cx"] * last - per["C_cm0"] * m1
+               - per["C_hist"] * (m2 - m1) - per["C_new"] * (m_this - m1))
+        x_next = (per["P_cx"] * x_c - per["P_cm0"] * m_this
+                  - per["P_cd1"] * (m1 - m_this))
+        return (x_next, x_c, m_this, m1), None
+
+    zeros = jnp.zeros_like(latents)
+    (x, _, _, _), _ = jax.lax.scan(
+        body, (latents, latents, zeros, zeros), xs)
+    return x

@@ -166,9 +166,16 @@ def run_trunk(
 
     pair_scan = jax.checkpoint(pair_fn) if remat else pair_fn
 
+    if tap_mode not in ("auto", "split", "ys", "carry"):
+        raise ValueError(
+            f"tap_mode must be one of 'auto'/'split'/'ys'/'carry', "
+            f"got {tap_mode!r}")
     taps = [t for t in sorted(cfg.taps) if t >= start_layer]
-    unbroken = tap_mode in ("ys", "carry") or (
-        tap_mode == "auto" and not remat and taps)
+    # with no taps every mode degenerates to the tap-free single-segment
+    # scan — an explicit 'ys'/'carry' would otherwise build per-layer
+    # (B,S,P,2C) concats into a buffer nobody reads
+    unbroken = bool(taps) and (tap_mode in ("ys", "carry") or (
+        tap_mode == "auto" and not remat))
     if unbroken:
         fb = slice_stack(params["frame_blocks"], start_layer, cfg.depth)
         gb = slice_stack(params["global_blocks"], start_layer, cfg.depth)

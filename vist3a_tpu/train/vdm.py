@@ -134,35 +134,34 @@ def choose_guidance_scale(key, step: int) -> float:
 # --------------------------------------------------------------------------- #
 def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
             *, num_steps: int, guidance_scale: float, backprop_steps=None,
-            backprop_mask=None, flow_shift: float = 3.0,
+            backprop_mask=None, backprop_idx=None, flow_shift: float = 3.0,
             lora_blocks=None, merge_fn=None):
     """UniPC CFG rollout with gradient truncation (`train_vdm.py:586-623`):
-    the DiT input is stop-gradiented EVERY step; model outputs of steps not
-    in `backprop_steps` (+ the forced last step) are stop-gradiented too.
-    `backprop_mask` — a (num_steps,) 0/1 array — may be passed instead of
-    the index list; as a TRACED value it keeps the chosen-step draw out of
-    the jit cache key (the scan trace is identical for any mask values).
-    Returns normalized (pipeline-space) final latents, differentiable wrt
-    LoRA through the chosen steps' outputs and the scheduler's affine chain.
-    """
-    if backprop_mask is not None:
-        mask = jnp.asarray(backprop_mask, jnp.float32)
-    else:
-        # no steps given → last step only (the reference always forces it,
-        # `train_vdm.py:592-596`)
-        chosen = set(int(i) for i in backprop_steps or ()) | {num_steps - 1}
-        mask = jnp.asarray([1.0 if i in chosen else 0.0
-                            for i in range(num_steps)], jnp.float32)
+    the DiT input is stop-gradiented EVERY step; gradient flows only through
+    the chosen steps' model outputs (+ the forced last step) and the
+    scheduler's affine chain.  Returns normalized (pipeline-space) final
+    latents.
 
+    Two forms, identical gradients (tested in `test_vdm_training.py`):
+      * `backprop_mask` — (num_steps,) 0/1 floats: the literal reference
+        semantics as one masked scan.  MEMORY TRAP under jit: the traced
+        mask keeps every step's model residuals live (~37 GB at deployed
+        scale) — oracle/testing only.
+      * `backprop_idx` (traced (K,) int32) or `backprop_steps` (static
+        list; the forced last step is appended) — the training form: a
+        no-grad recorded rollout + ONE batched differentiable re-evaluation
+        of the K chosen steps + an affine replay (`unipc.replay_affine`).
+        Duplicate indices contribute once (reference chooses a SET).
+    """
     # compute in the params' dtype (bf16 deployed, matching the reference's
     # FSDP2 bf16 mixed-precision policy, `train_vdm.py:296-304`); the
     # sampler carry stays fp32 — without the boundary cast an fp32 carry
     # silently upcasts every DiT matmul to fp32 (6× MXU passes)
     dt = jax.tree_util.tree_leaves(dit_params_merged)[0].dtype
+    ucfg = unipc.UniPCConfig(num_steps=num_steps, shift=flow_shift)
 
     def model_fn(x, t):
-        # input always detached (z_in.detach()); output gating by the
-        # backprop mask happens inside sample_scan
+        # input always detached (z_in.detach())
         x2 = jnp.concatenate([x, x], axis=0).astype(dt)
         text = jnp.concatenate([cond, uncond], axis=0).astype(dt)
         ts = jnp.full((x2.shape[0],), t, jnp.float32)
@@ -172,10 +171,54 @@ def rollout(dit_params_merged, latents0, cond, uncond, dit_cfg,
         v_c, v_u = jnp.split(v, 2, axis=0)
         return v_u + guidance_scale * (v_c - v_u)
 
-    return unipc.sample_scan(
-        model_fn, latents0,
-        unipc.UniPCConfig(num_steps=num_steps, shift=flow_shift),
-        backprop_mask=mask)
+    if backprop_mask is not None:
+        return unipc.sample_scan(model_fn, latents0, ucfg,
+                                 backprop_mask=jnp.asarray(backprop_mask,
+                                                           jnp.float32))
+
+    if backprop_idx is None:
+        chosen = sorted(set(int(i) for i in (backprop_steps or ()))
+                        | {num_steps - 1})
+        backprop_idx = jnp.asarray(chosen, jnp.int32)
+    idx = jnp.asarray(backprop_idx, jnp.int32)
+    k = idx.shape[0]
+
+    # 1. no-grad rollout, recording per-step model inputs/outputs
+    _, x_stack, v_stack = unipc.sample_scan_record(model_fn, latents0, ucfg)
+
+    # 2. differentiable re-evaluation of the K chosen steps in ONE batched
+    #    CFG forward (B = 2·K·B0) — the only model residuals kept alive
+    _, timesteps = unipc.flow_sigmas(num_steps, flow_shift,
+                                     ucfg.num_train_timesteps)
+    b0 = latents0.shape[0]
+    x_sel = x_stack[idx]                                 # (K, B0, ...)
+    t_sel = jnp.asarray(timesteps)[idx]                  # (K,)
+    xk = x_sel.reshape((k * b0,) + latents0.shape[1:])
+    x2 = jnp.concatenate([xk, xk], axis=0).astype(dt)
+    text = jnp.concatenate([jnp.tile(cond, (k, 1, 1)),
+                            jnp.tile(uncond, (k, 1, 1))], axis=0).astype(dt)
+    ts1 = jnp.repeat(t_sel, b0)
+    ts2 = jnp.concatenate([ts1, ts1]).astype(jnp.float32)
+    v = wan_dit.forward(dit_params_merged, x2, ts2, text, dit_cfg,
+                        remat=True, lora_blocks=lora_blocks,
+                        merge_fn=merge_fn).astype(jnp.float32)
+    v_c, v_u = jnp.split(v, 2, axis=0)
+    v_sel = (v_u + guidance_scale * (v_c - v_u)).reshape(x_sel.shape)
+
+    # duplicate indices (the forced last step can collide with a drawn one)
+    # must contribute ONE gradient term — cut the dup rows' grad path
+    dup = jnp.any(jnp.triu(idx[None, :] == idx[:, None], k=1), axis=0)
+    keep = (~dup).astype(v_sel.dtype).reshape((k,) + (1,) * (v_sel.ndim - 1))
+    # zero-VALUED, grad-carrying delta scatter-ADDED onto the detached
+    # recorded stack: the replayed value is bitwise the recorded rollout's,
+    # grad flows through the K recomputations.  (scatter-add, not -set: the
+    # set-transpose routes the cotangent to only one duplicate row — the
+    # wrong one once dups are masked)
+    delta = keep * (v_sel - jax.lax.stop_gradient(v_sel))
+    v_diff = jax.lax.stop_gradient(v_stack).at[idx].add(delta)
+
+    # 3. cheap differentiable affine replay with the K rows spliced in
+    return unipc.replay_affine(v_diff, latents0, ucfg)
 
 
 # --------------------------------------------------------------------------- #
@@ -211,8 +254,9 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
     the remote-dispatch tunnel made the step dispatch-bound: the SFT-only
     step measured 13.3 s eager vs the jitted program's device time).
     Only the (bucketed) rollout LENGTH keys a fresh variant: the chosen
-    backprop steps ride as a runtime 0/1 mask and the per-prompt scorer
-    text features as runtime arrays, so an RL run compiles at most
+    backprop steps ride as a runtime (3,) int32 index array and the
+    per-prompt scorer text features as runtime arrays, so an RL run compiles
+    at most
     high/bucket (=5 deployed) programs.  The frozen CLIP tower params ride
     as a traced `reward_params` argument (loss_fn.reward_params) — baking
     them into the program as closure constants doubles their HBM and ships
@@ -221,7 +265,7 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                       else _REWARD_FNS[loss_token])
 
     def run(state, dit_params, vae_params, stitched_params, video, sft_text,
-            rl_cond, rl_uncond, bp_mask, reward_text, reward_params,
+            rl_cond, rl_uncond, bp_idx, reward_text, reward_params,
             guidance, k_vae, k_flow, k_noise, k_reward):
         from vist3a_tpu.train.reward import calculate_reward
 
@@ -251,7 +295,7 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                 lat = rollout(dit_params, latents0, rl_cond, rl_uncond,
                               dit_cfg,
                               num_steps=num_steps, guidance_scale=guidance,
-                              backprop_mask=bp_mask,
+                              backprop_idx=bp_idx,
                               flow_shift=cfg.flow_shift,
                               lora_blocks=lora, merge_fn=merge_fn)
                 lat_un = wan_vae.unnormalize_latents(lat)
@@ -333,13 +377,14 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
         backprop_steps = choose_and_sync_two_indices(key, step, num_steps)
         num_steps = bucket_rollout_steps(num_steps, cfg.rollout_step_bucket,
                                          cfg.rollout_steps_high)
-        mask = np.zeros((num_steps,), np.float32)
-        mask[list(backprop_steps) + [num_steps - 1]] = 1.0
-        bp_mask = jnp.asarray(mask)
+        # traced (3,) indices — the draw never keys a fresh trace; the forced
+        # last step may duplicate a drawn one (rollout dedups the gradient)
+        bp_idx = jnp.asarray(list(backprop_steps) + [num_steps - 1],
+                             jnp.int32)
     else:
         # rollout statics are unused without RL — pin them so the per-step
         # random draw doesn't key a fresh trace/compile of the program
-        num_steps, bp_mask = 0, jnp.zeros((0,), jnp.float32)
+        num_steps, bp_idx = 0, jnp.zeros((0,), jnp.int32)
     guidance = choose_guidance_scale(key, step)
 
     fn = _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg,
@@ -351,7 +396,7 @@ def vdm_train_step(state: VDMTrainState, dit_params, vae_params,
     reward_params = (getattr(reward_loss_fn, "reward_params", None)
                      if rl else None) or {}
     return fn(state, dit_params, vae_params, stitched_params, video,
-              sft_text, rl_cond, rl_uncond, bp_mask,
+              sft_text, rl_cond, rl_uncond, bp_idx,
               () if reward_text is None else tuple(reward_text),
               reward_params, guidance,
               k_vae, k_flow, k_noise, k_reward)
