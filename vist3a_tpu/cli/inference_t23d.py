@@ -42,13 +42,16 @@ def main(args):
     from vist3a_tpu.io import load_weights, weight_import
     from vist3a_tpu.nn.umt5 import UMT5_XXL
 
+    from vist3a_tpu.io import manifests
+
     root = weights_root(args)
     params, scfg = load_stitched_model(args)
-    params["umt5"] = weight_import.import_umt5(
-        load_weights.load_sharded_safetensors(root / "umt5"),
-        UMT5_XXL.num_layers)
-    params["dit"] = weight_import.import_wan_dit(
-        load_weights.load_sharded_safetensors(root / "wan_dit"))
+    umt5_sd = load_weights.load_sharded_safetensors(root / "umt5")
+    manifests.validate_state_dict(umt5_sd, "umt5_xxl")
+    params["umt5"] = weight_import.import_umt5(umt5_sd,
+                                               UMT5_XXL.num_layers)
+    params["dit"] = weight_import.import_wan_dit(manifests.validate_wan_dit(
+        load_weights.load_sharded_safetensors(root / "wan_dit")))
     if getattr(args, "transformer_lora_path", None):
         params["dit"] = weight_import.apply_peft_lora(
             params["dit"],

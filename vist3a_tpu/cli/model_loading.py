@@ -35,20 +35,34 @@ def weights_root(args=None) -> Path:
     return Path(root)
 
 
+def _validate(sd, family):
+    """Expected-key manifest gate (`io/manifests.py`): a real released
+    checkpoint that misses/adds/reshapes keys fails HERE with the full
+    diff instead of silently mis-mapping.  Skipped only when the manifest
+    family's deployed config doesn't describe this file (strict_extra off
+    would hide real drift)."""
+    from vist3a_tpu.io import manifests
+
+    manifests.validate_state_dict(sd, family)
+    return sd
+
+
 def load_anysplat_encoder(root: Path) -> dict:
     p = root / "anysplat.pth"
     if p.exists():
         sd = load_weights.load_torch_state_dict(p)
     else:
         sd = load_weights.load_sharded_safetensors(root / "anysplat")
-    return weight_import.import_anysplat_encoder(sd)
+    return weight_import.import_anysplat_encoder(
+        _validate(sd, "anysplat_encoder"))
 
 
 def load_wan_vae_params(root: Path):
     from vist3a_tpu.nn.wan_vae import WanVAEConfig
 
     sd = load_weights.load_sharded_safetensors(root / "wan_vae")
-    return weight_import.import_wan_vae(sd, WanVAEConfig())
+    return weight_import.import_wan_vae(_validate(sd, "wan_vae"),
+                                        WanVAEConfig())
 
 
 def load_stitched_model(args, *, eval_dtype_bf16: bool = True):

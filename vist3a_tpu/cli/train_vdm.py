@@ -209,10 +209,16 @@ def build_reward_fns(root, *, pick_dir="pickscore", pe_dir="dfn5b",
     from vist3a_tpu.nn import clip as clip_mod
     from vist3a_tpu.train import reward as reward_mod
 
+    from vist3a_tpu.io import manifests
+
     root = Path(root)
     pick_sd = load_weights.load_sharded_safetensors(root / pick_dir)
     pe_sd = load_weights.load_sharded_safetensors(root / pe_dir)
     rcfg = rcfg or reward_mod.RewardConfig()
+    if rcfg.pick_cfg == reward_mod.RewardConfig().pick_cfg:
+        # manifests describe the deployed towers; tiny test configs skip
+        manifests.validate_state_dict(pick_sd, "pickscore")
+        manifests.validate_state_dict(pe_sd, "dfn5b")
     pick = clip_mod.import_hf_clip_vision(pick_sd,
                                           rcfg.pick_cfg.num_layers)
     pe = clip_mod.import_open_clip_vision(pe_sd, rcfg.pe_cfg.num_layers)
@@ -279,12 +285,14 @@ def main(args):
     validate_vdm_args(training_vdm_argument(), args)
     root = weights_root(args)
 
+    from vist3a_tpu.io import manifests
+
     stitched, scfg = load_stitched_model(args)
-    dit = weight_import.import_wan_dit(
-        load_weights.load_sharded_safetensors(root / "wan_dit"))
-    umt5 = weight_import.import_umt5(
-        load_weights.load_sharded_safetensors(root / "umt5"),
-        umt5_mod.UMT5_XXL.num_layers)
+    dit = weight_import.import_wan_dit(manifests.validate_wan_dit(
+        load_weights.load_sharded_safetensors(root / "wan_dit")))
+    umt5_sd = load_weights.load_sharded_safetensors(root / "umt5")
+    manifests.validate_state_dict(umt5_sd, "umt5_xxl")
+    umt5 = weight_import.import_umt5(umt5_sd, umt5_mod.UMT5_XXL.num_layers)
     tokenizer = AutoTokenizer.from_pretrained(str(root / "umt5"))
 
     def embed_text(prompts):
