@@ -211,7 +211,9 @@ def _run_lookup(offsets, size):
     """
     n = offsets.shape[0] - 1
     marker = jnp.zeros((size,), jnp.int32)
-    marker = marker.at[offsets[:n]].add(1, mode="drop")
+    # offsets are an inclusive-prefix (non-decreasing) — tell the scatter
+    marker = marker.at[offsets[:n]].add(1, mode="drop",
+                                        indices_are_sorted=True)
     return jnp.cumsum(marker) - 1
 
 
@@ -291,7 +293,8 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
         tab = jnp.concatenate([
             (tab32 >> 16).astype(jnp.uint16),
             (tab32 & 0xFFFF).astype(jnp.uint16)], axis=1)
-        tab_s16 = tab[gid_c]
+        # gid is non-decreasing over the gaussian-major slot space
+        tab_s16 = jnp.take(tab, gid_c, axis=0, indices_are_sorted=True)
         tab_s = ((tab_s16[:, :3].astype(jnp.int32) << 16)
                  | tab_s16[:, 3:].astype(jnp.int32))
         meta_s = tab_s[:, 0]
@@ -403,8 +406,9 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     # and re-prefixed.
     surv = jnp.minimum(offsets, p1)
     if order is not None:
+        # `order` is a full permutation — unique by construction
         counts_orig = jnp.zeros((g,), jnp.int32).at[order].set(
-            surv[1:] - surv[:g])
+            surv[1:] - surv[:g], unique_indices=True)
         bounds_bwd = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
             jnp.cumsum(counts_orig)]).astype(jnp.int32)
