@@ -101,6 +101,25 @@ def main():
         out, _ = jax.lax.scan(body, tok, (fb, gb))
         return out
 
+    def frame_only(fb, tok):
+        """24× frame block with the pair's (B,S,P,C)↔(B·S,P,C) reshapes —
+        Δ vs the isolated frame scan (trunk_probe block_full_frame ×24)
+        isolates the carry-reshape/layout cost."""
+        def body(carry, fp):
+            x = carry.reshape(b * s, p, c)
+            x = L.block_apply(fp, x, blk, *rope_f)
+            return x.reshape(b, s, p, c), None
+        out, _ = jax.lax.scan(body, tok, fb)
+        return out
+
+    def global_only(gb, tok):
+        def body(carry, gp):
+            x = carry.reshape(b, s * p, c)
+            x = L.block_apply(gp, x, blk, *rope_g)
+            return x.reshape(b, s, p, c), None
+        out, _ = jax.lax.scan(body, tok, gb)
+        return out
+
     probe("run_trunk_taps0",
           lambda ap, t: agg_mod.run_trunk(
               ap, t, dataclasses.replace(cfg, taps=()), (gh, gw),
@@ -109,6 +128,8 @@ def main():
     probe("pair_stacked", pair_stacked, (fb, gb, tokens), rtt)
     probe("pair_closed", pair_closed, (tokens,), rtt)
     probe("pair_glob_only", pair_glob_only, (fb, gb, tokens), rtt)
+    probe("frame_only", frame_only, (fb, tokens), rtt)
+    probe("global_only", global_only, (gb, tokens), rtt)
 
 
 if __name__ == "__main__":

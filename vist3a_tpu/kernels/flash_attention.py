@@ -269,8 +269,11 @@ def _fwd_kernel_t_onmax(qt_ref, kt_ref, vt_ref, ot_ref, lse_ref, acc, m_s, *,
             jnp.float32)
 
 
-def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
+def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret, kv_bias=None):
     """qt,kt,vt: (BH, D, N) — D unpadded (any sublane multiple of 8).
+    kv_bias: optional (BH, 1, N_k) additive key bias (0 = live, −1e30 =
+    masked) — arbitrary-position key masking (the padded-token trunk
+    layout) rides the SAME bias-feature row as the tail mask.
     Returns (ot (BH, D, N_q), lse (BH, N_q))."""
     bh, d, n_q = qt.shape
     n_k = kt.shape[2]
@@ -292,8 +295,10 @@ def _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret):
          m_bound[:, None, :]], axis=1).astype(dt)
     # concat (not .at[].set) — the scatter form bakes an empty index array
     # into the jaxpr as a constant, which breaks partitioned tracing
+    live = (jnp.zeros((bh, 1, n_k), jnp.float32) if kv_bias is None
+            else kv_bias.astype(jnp.float32))
     kmask = jnp.concatenate(
-        [jnp.zeros((bh, 1, n_k), jnp.float32),
+        [live,
          jnp.full((bh, 1, n_kp - n_k), _NEG_INF, jnp.float32)],
         axis=2).astype(dt)
     kp = jnp.concatenate([_pad_to(kt, n_kp, 2), kmask,
@@ -349,6 +354,17 @@ def _fwd_t_part(scale, bq, bk, interpret):
     """GSPMD-partitionable transposed forward (BH shards, D/N replicate)."""
     def fun(qt, kt, vt):
         return _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret)
+
+    return fun, 2, True
+
+
+@cached_partitioned
+def _fwd_t_masked_part(scale, bq, bk, interpret):
+    """Transposed forward with an explicit key bias (kv_bias carries the
+    fused-BH dim so the shard_map policy applies uniformly)."""
+    def fun(qt, kt, vt, kv_bias):
+        return _flash_fwd_t(qt, kt, vt, scale, bq, bk, interpret,
+                            kv_bias=kv_bias)
 
     return fun, 2, True
 
@@ -721,6 +737,54 @@ def _flash_core_fwd(q, k, v, scale, bq, bk, interpret):
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_bwd)
+
+
+def flash_attention_masked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: jnp.ndarray,
+    *,
+    scale: float | None = None,
+    block_q: int | None = None,
+    block_k: int | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """FORWARD-ONLY flash attention with an arbitrary key-validity mask.
+
+    key_valid: (N_k,) bool — False keys get −1e30 on the mask bias-feature
+    row (exactly the tail-pad mechanism, at arbitrary positions).  Used by
+    the inference trunk's padded-token layout (`nn/aggregator.run_trunk`):
+    per-frame token counts are padded to a sublane multiple so the
+    frame↔global reshapes are layout bitcasts instead of ~0.8 ms/layer
+    repack copies (measured r5, `tools/trunk_bisect.py`).  Transposed
+    schedule only (D < 128, multiple of 8 — the trunk shape); no VJP:
+    training paths keep the unpadded layout.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n_q, h, d = q.shape
+    n_k = k.shape[1]
+    assert d % 8 == 0 and d % 128 != 0, (
+        "flash_attention_masked supports the transposed schedule only "
+        f"(D={d})")
+    scale = d ** -0.5 if scale is None else scale
+    block_q = DEFAULT_BQ_T if block_q is None else block_q
+    block_k = DEFAULT_BK_T if block_k is None else block_k
+    n_q128 = _cdiv(n_q, 128) * 128
+    n_k128 = _cdiv(n_k, 128) * 128
+    bq = n_q128 if n_q128 <= block_q + 256 else block_q
+    bk = n_k128 if n_k128 <= block_k + 256 else block_k
+
+    def to_dh(x, n):
+        return jnp.transpose(x, (0, 2, 3, 1)).reshape(b * h, d, n)
+
+    kv_bias = jnp.broadcast_to(
+        jnp.where(key_valid, 0.0, _NEG_INF).astype(jnp.float32)[None, None],
+        (b * h, 1, n_k))
+    ot, _ = _fwd_t_masked_part(scale, bq, bk, interpret)(
+        to_dh(q, n_q), to_dh(k, n_k), to_dh(v, n_k), kv_bias)
+    return jnp.transpose(ot.reshape(b, h, d, n_q), (0, 3, 1, 2))
 
 
 def flash_attention(

@@ -102,14 +102,18 @@ def rope_tables(cfg: AggregatorConfig, grid_h: int, grid_w: int, n_frames: int):
     return (cos, sin), (cos_g, sin_g)
 
 
-def _layer_pair(frame_p, global_p, tokens, blk_cfg, rope_f, rope_g):
-    """One frame-attention + global-attention pair.  tokens: (B,S,P,C)."""
+def _layer_pair(frame_p, global_p, tokens, blk_cfg, rope_f, rope_g,
+                kv_f=None, kv_g=None):
+    """One frame-attention + global-attention pair.  tokens: (B,S,P,C).
+
+    kv_f/kv_g: optional key-validity masks ((P,)/(S·P,)) — the padded-token
+    inference layout (see `run_trunk`)."""
     b, s, p, c = tokens.shape
     x = tokens.reshape(b * s, p, c)
-    x = block_apply(frame_p, x, blk_cfg, *rope_f)
+    x = block_apply(frame_p, x, blk_cfg, *rope_f, key_valid=kv_f)
     frame_out = x.reshape(b, s, p, c)
     xg = frame_out.reshape(b, s * p, c)
-    xg = block_apply(global_p, xg, blk_cfg, *rope_g)
+    xg = block_apply(global_p, xg, blk_cfg, *rope_g, key_valid=kv_g)
     return xg.reshape(b, s, p, c), frame_out
 
 
@@ -161,8 +165,32 @@ def run_trunk(
     b, s, p, c = tokens.shape
     rope_f, rope_g = rope_tables(cfg, *grid_hw, n_frames=s)
 
+    # Padded-token inference layout: P=1029 is not a sublane multiple, so
+    # the per-layer (B,S,P,C)↔(B,S·P,C) reshape around global attention is
+    # a ~0.8 ms repack COPY of the 27 MB token tensor (measured r5,
+    # `tools/trunk_bisect.py`: global-with-reshape 250.7 ms vs isolated
+    # 230.9 over 24 layers).  Padding P to a multiple of 16 makes every
+    # reshape a layout bitcast; the dummy tokens are masked as attention
+    # KEYS via the flash kernel's bias-feature mask (+1% global-attention
+    # flops).  Inference only — the masked kernel entry has no VJP, and the
+    # remat'd training path keeps the reference layout.
+    p_real, kv_f, kv_g = p, None, None
+    pad = (-p) % 16
+    if pad and not remat:
+        tokens = jnp.pad(tokens, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        p = p + pad
+        cos_f, sin_f = rope_f
+        rope_f = (jnp.pad(cos_f, ((0, pad), (0, 0)), constant_values=1.0),
+                  jnp.pad(sin_f, ((0, pad), (0, 0))))
+        rope_g = (jnp.tile(rope_f[0], (s, 1)), jnp.tile(rope_f[1], (s, 1)))
+        kv_f = jnp.arange(p) < p_real
+        kv_g = jnp.tile(kv_f, s)
+
+    def unpad(x):
+        return x[:, :, :p_real] if pad and not remat else x
+
     def pair_fn(fp, gp, tok):
-        return _layer_pair(fp, gp, tok, blk_cfg, rope_f, rope_g)
+        return _layer_pair(fp, gp, tok, blk_cfg, rope_f, rope_g, kv_f, kv_g)
 
     pair_scan = jax.checkpoint(pair_fn) if remat else pair_fn
 
@@ -187,7 +215,7 @@ def run_trunk(
                 return out, jnp.concatenate([frame_out, out], axis=-1)
 
             tokens, ys = jax.lax.scan(body_ys, tokens, (fb, gb))
-            return tokens, [ys[t - start_layer] for t in taps]
+            return unpad(tokens), [unpad(ys[t - start_layer]) for t in taps]
 
         n_taps = len(taps)
         slot = np.full((cfg.depth - start_layer,), n_taps, np.int32)
@@ -205,7 +233,7 @@ def run_trunk(
 
         (tokens, tapbuf), _ = jax.lax.scan(
             body_carry, (tokens, tapbuf), ((fb, gb), jnp.asarray(slot)))
-        return tokens, [tapbuf[i] for i in range(n_taps)]
+        return unpad(tokens), [unpad(tapbuf[i]) for i in range(n_taps)]
 
     def scan_segment(tok, lo, hi):
         """Layers [lo, hi) without taps, as one scan."""
@@ -230,10 +258,10 @@ def run_trunk(
         fp = take_layer(params["frame_blocks"], t)
         gp = take_layer(params["global_blocks"], t)
         tokens, frame_out = pair_scan(fp, gp, tokens)
-        outs.append(jnp.concatenate([frame_out, tokens], axis=-1))
+        outs.append(unpad(jnp.concatenate([frame_out, tokens], axis=-1)))
         cur = t + 1
     tokens = scan_segment(tokens, cur, cfg.depth)
-    return tokens, outs
+    return unpad(tokens), outs
 
 
 def forward(

@@ -158,7 +158,8 @@ def block_init(key, cfg: BlockConfig, dtype=jnp.float32):
     return p
 
 
-def attention_sublayer(params, x, cfg: BlockConfig, rope_cos=None, rope_sin=None):
+def attention_sublayer(params, x, cfg: BlockConfig, rope_cos=None,
+                       rope_sin=None, key_valid=None):
     b, n, _ = x.shape
     h, dh = cfg.num_heads, cfg.head_dim
     qkv = linear(params["qkv"], x).reshape(b, n, 3, h, dh)
@@ -172,13 +173,16 @@ def attention_sublayer(params, x, cfg: BlockConfig, rope_cos=None, rope_sin=None
         # (B,N,H,D): rotate over N — move head axis in the cos/sin broadcast
         q = apply_rope2d(q.swapaxes(1, 2), cs, sn).swapaxes(1, 2)
         k = apply_rope2d(k.swapaxes(1, 2), cs, sn).swapaxes(1, 2)
-    o = dot_product_attention(q, k, v, impl=cfg.attn_impl)
+    o = dot_product_attention(q, k, v, impl=cfg.attn_impl,
+                              key_valid=key_valid)
     return linear(params["proj"], o.reshape(b, n, cfg.dim))
 
 
-def block_apply(params, x, cfg: BlockConfig, rope_cos=None, rope_sin=None):
+def block_apply(params, x, cfg: BlockConfig, rope_cos=None, rope_sin=None,
+                key_valid=None):
     h = layer_norm(params["norm1"], x, cfg.ln_eps)
-    h = attention_sublayer(params["attn"], h, cfg, rope_cos, rope_sin)
+    h = attention_sublayer(params["attn"], h, cfg, rope_cos, rope_sin,
+                           key_valid)
     if "ls1" in params:
         h = h * params["ls1"]["gamma"].astype(h.dtype)
     x = x + h

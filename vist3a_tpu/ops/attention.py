@@ -23,10 +23,13 @@ def dot_product_attention(
     *,
     impl: str = "auto",
     scale: float | None = None,
+    key_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Softmax attention over (B, N, H, D) tensors, fp32 softmax.
 
     impl: 'auto' → Pallas flash kernel on TPU when shapes allow, else XLA.
+    key_valid: optional (N_k,) bool — masked keys get −inf logits (the
+    inference trunk's padded-token layout; FORWARD-ONLY on the Pallas path).
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
@@ -36,20 +39,30 @@ def dot_product_attention(
         use_pallas = on_tpu and q.shape[1] >= 1024
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        from vist3a_tpu.kernels.flash_attention import flash_attention
+        from vist3a_tpu.kernels.flash_attention import (flash_attention,
+                                                        flash_attention_masked)
 
-        return flash_attention(q, k, v, scale=scale)
-    return _xla_attention(q, k, v, scale=scale)
+        if key_valid is not None:
+            d = q.shape[-1]
+            if d % 8 == 0 and d % 128 != 0:
+                return flash_attention_masked(q, k, v, key_valid,
+                                              scale=scale)
+        else:
+            return flash_attention(q, k, v, scale=scale)
+    return _xla_attention(q, k, v, scale=scale, key_valid=key_valid)
 
 
-def _xla_attention(q, k, v, *, scale=None):
+def _xla_attention(q, k, v, *, scale=None, key_valid=None):
     d = q.shape[-1]
     scale = d ** -0.5 if scale is None else scale
     dtype = q.dtype
     # (B,N,H,D) -> (B,H,N,D)
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-    )
+    ).astype(jnp.float32)
+    if key_valid is not None:
+        logits = jnp.where(key_valid[None, None, None, :], logits,
+                           jnp.float32(-1e30))
     probs = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1)
     out = jnp.einsum(
         "bhnm,bmhd->bnhd",
