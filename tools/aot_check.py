@@ -23,7 +23,15 @@ Programs compiled:
 
 from __future__ import annotations
 
+import dataclasses
+import os
 import sys
+
+# kernels must lower through Mosaic even though this host's trace-time
+# backend is cpu (the compile TARGET is the TPU topology) — interpret-mode
+# or XLA-attention fallbacks would hide lowering bugs and blow the memory
+# figures (an O(N²) probs matrix is 10.7 GiB at the decode shape)
+os.environ["VIST3A_FORCE_MOSAIC"] = "1"
 
 import numpy as np
 
@@ -62,7 +70,7 @@ def shaped(tree, sharding):
 
 
 def check_14b_sft(mesh):
-    cfg = wan_dit.WAN_14B
+    cfg = dataclasses.replace(wan_dit.WAN_14B, attn_impl="pallas")
     vcfg = vdm.VDMTrainConfig(enable_rl=False)
     dit_abs = jax.eval_shape(lambda k: wan_dit.init(k, cfg, jnp.bfloat16),
                              jax.random.key(0))
@@ -111,7 +119,7 @@ def check_14b_sft(mesh):
 def check_14b_tp_denoise(mesh):
     from vist3a_tpu.pipelines import t23d
 
-    cfg = wan_dit.WAN_14B
+    cfg = dataclasses.replace(wan_dit.WAN_14B, attn_impl="pallas")
     dit_abs = jax.eval_shape(lambda k: wan_dit.init(k, cfg, jnp.bfloat16),
                              jax.random.key(0))
     specs = wan_dit.param_shardings(cfg)
@@ -249,9 +257,15 @@ def check_rl_step_deployed(mesh):
     from vist3a_tpu.train import reward as reward_mod
     from vist3a_tpu.train.vdm import _vdm_step_jit
 
-    dit_cfg = wan_dit.WAN_1_3B
+    dit_cfg = dataclasses.replace(wan_dit.WAN_1_3B, attn_impl="pallas")
     vae_cfg = wan_vae.WanVAEConfig()
-    scfg = ca.StitchedConfig()
+    base = ca.StitchedConfig()
+    ecfg = dataclasses.replace(
+        base.encoder,
+        vit=dataclasses.replace(base.encoder.vit, attn_impl="pallas"),
+        agg=dataclasses.replace(base.encoder.agg, attn_impl="pallas"),
+        head_dtype="bfloat16")
+    scfg = dataclasses.replace(base, encoder=ecfg)
     rcfg = reward_mod.RewardConfig()
     vcfg = vdm.VDMTrainConfig(enable_rl=True)
     rep = NamedSharding(mesh, P())

@@ -42,6 +42,20 @@ DEFAULT_BQ = 1024
 DEFAULT_BK = 1024
 DEFAULT_BQ_T = 2048
 DEFAULT_BK_T = 1536
+
+
+def _mosaic_target() -> bool:
+    """True when kernels should lower through Mosaic: a real TPU backend,
+    or VIST3A_FORCE_MOSAIC=1 (AOT topology compiles on a TPU-less host —
+    `tools/aot_check.py` — where default_backend() is cpu but the compile
+    TARGET is TPU; interpret mode there would hide lowering bugs and
+    distort the memory figures)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            or os.environ.get("VIST3A_FORCE_MOSAIC") == "1")
+
+
 _NEG_INF = -1e30
 
 
@@ -762,7 +776,7 @@ def flash_attention_masked(
     training paths keep the unpadded layout.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _mosaic_target()
     b, n_q, h, d = q.shape
     n_k = k.shape[1]
     assert d % 8 == 0 and d % 128 != 0, (
@@ -808,7 +822,7 @@ def flash_attention(
       * "auto"       — transposed iff D is a sub-lane-width multiple of 8.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        interpret = not _mosaic_target()
     b, n_q, h, d = q.shape
     n_k = k.shape[1]
     scale = d ** -0.5 if scale is None else scale

@@ -846,7 +846,10 @@ def rasterize(
     (`train/reward.calculate_reward`) turns it on.
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        import os
+
+        interpret = (jax.default_backend() != "tpu"
+                     and os.environ.get("VIST3A_FORCE_MOSAIC") != "1")
     g = means.shape[0]
     d_sh = harmonics.shape[-1]
     if sh_degree is None:

@@ -56,6 +56,10 @@ class WanDiTConfig:
     eps: float = 1e-6
     rope_max_seq_len: int = 1024
     rope_theta: float = 10000.0
+    # self-attention kernel selection ("auto" resolves by the trace-time
+    # backend — AOT topology compiles pin "pallas" explicitly since their
+    # trace-time backend is cpu while the TARGET is TPU)
+    attn_impl: str = "auto"
 
     @property
     def head_dim(self) -> int:
@@ -254,7 +258,7 @@ def _attention(p, x, context, cfg: WanDiTConfig, rope=None):
         k = apply_rope(k, *rope)
     # short-kv cross-attention is faster on the fused-XLA path than the
     # flash kernel (226-token text: 1.50 vs 1.87 ms/block measured)
-    impl = "auto" if context is x else "xla"
+    impl = cfg.attn_impl if context is x else "xla"
     out = dot_product_attention(q, k, v, impl=impl)
     return _linear(p["o"], out.reshape(b, n, d))
 

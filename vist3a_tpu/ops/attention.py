@@ -32,7 +32,10 @@ def dot_product_attention(
     inference trunk's padded-token layout; FORWARD-ONLY on the Pallas path).
     """
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
+        import os
+
+        on_tpu = (jax.default_backend() == "tpu"
+                  or os.environ.get("VIST3A_FORCE_MOSAIC") == "1")
         # the Pallas kernel pads head_dim to the 128-lane width internally;
         # it wins whenever the sequence is long enough to tile (measured
         # 3.7× over XLA at the VGGT global-attention shape)
