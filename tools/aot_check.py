@@ -260,11 +260,14 @@ def check_rl_step_deployed(mesh):
     dit_cfg = dataclasses.replace(wan_dit.WAN_1_3B, attn_impl="pallas")
     vae_cfg = wan_vae.WanVAEConfig()
     base = ca.StitchedConfig()
+    # heads stay fp32: the reference keeps heads out of autocast in
+    # training (`anysplat.py:421`); bf16 heads are an inference-decode
+    # optimization whose conv VJP would also hit the fp32-cotangent ×
+    # bf16-kernel dtype mismatch under grad
     ecfg = dataclasses.replace(
         base.encoder,
         vit=dataclasses.replace(base.encoder.vit, attn_impl="pallas"),
-        agg=dataclasses.replace(base.encoder.agg, attn_impl="pallas"),
-        head_dtype="bfloat16")
+        agg=dataclasses.replace(base.encoder.agg, attn_impl="pallas"))
     scfg = dataclasses.replace(base, encoder=ecfg)
     rcfg = reward_mod.RewardConfig()
     vcfg = vdm.VDMTrainConfig(enable_rl=True)

@@ -51,18 +51,34 @@ def _prefix(stage, proj, ntx, nty, p1, extra_valid):
     w_bits = (ntx + 1).bit_length()
     np_bits = ((ntx + 1) * (nty + 1)).bit_length()
 
-    order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf))
     base = y0 * ntx + x0
     meta = ((base << (w_bits + np_bits)) | (w << np_bits) | n_per_g)
-    meta_o = meta[order]
+    _, meta_o, order = jax.lax.sort(
+        (jnp.where(valid, proj.depth, jnp.inf).astype(jnp.float32),
+         meta, jnp.arange(g, dtype=jnp.int32)), num_keys=1)
     if stage == "meta_argsort":
-        return jnp.sum(meta_o)
+        return jnp.sum(meta_o) + jnp.sum(order)
     offsets = jnp.concatenate([
         jnp.zeros((1,), jnp.int32),
         jnp.cumsum(meta_o & ((1 << np_bits) - 1))]).astype(jnp.int32)
     total = offsets[g]
     if stage == "offsets":
         return jnp.sum(offsets)
+    if stage == "marker":
+        marker = jnp.zeros((p1,), jnp.int32)
+        marker = marker.at[offsets[:g]].add(1, mode="drop",
+                                            indices_are_sorted=True)
+        return jnp.sum(marker)
+    if stage == "marker_prefix_mxu":
+        marker = jnp.zeros((p1,), jnp.int32)
+        marker = marker.at[offsets[:g]].add(1, mode="drop",
+                                            indices_are_sorted=True)
+        return jnp.sum(R._prefix_sum_f32(marker.astype(jnp.float32)))
+    if stage == "marker_prefix_cumsum":
+        marker = jnp.zeros((p1,), jnp.int32)
+        marker = marker.at[offsets[:g]].add(1, mode="drop",
+                                            indices_are_sorted=True)
+        return jnp.sum(jnp.cumsum(marker))
     gid = R._run_lookup(offsets, p1)
     gid_c = jnp.clip(gid, 0, g - 1)
     if stage == "runlookup":
@@ -120,7 +136,8 @@ def main():
     print(f"proj:         {dt0*1e3:8.1f} ms", flush=True)
 
     prev = dt0
-    for stage in ("meta_argsort", "offsets", "runlookup", "expand", "sort"):
+    for stage in ("meta_argsort", "offsets", "marker", "marker_prefix_mxu",
+                  "marker_prefix_cumsum", "runlookup", "expand", "sort"):
         @jax.jit
         def stage_fn(means, covars, opac, viewmat, K, stage=stage):
             p = R.project_gaussians(means, covars, viewmat, K, W, H)

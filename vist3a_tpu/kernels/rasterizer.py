@@ -203,18 +203,41 @@ def eval_sh(harmonics, dirs, sh_degree):
 # --------------------------------------------------------------------------- #
 # 2. tile-pair construction (XLA, discrete/non-diff)                          #
 # --------------------------------------------------------------------------- #
+def _prefix_sum_f32(x):
+    """Inclusive prefix sum of an fp32 vector via hierarchical 256-wide
+    triangular matmuls — `jnp.cumsum` over multi-million-element vectors
+    measured ~8 ms at 2.6M on v5e (r5 `tools/pairs_probe.py`); the MXU form
+    is a handful of (rows,256)×(256,256) products."""
+    n = x.shape[0]
+    c = 256
+    if n <= c:
+        return jnp.cumsum(x)
+    rows = _cdiv(n, c)
+    xf = jnp.pad(x, (0, rows * c - n)).reshape(rows, c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    tri = (row <= col).astype(jnp.float32)
+    pref = jax.lax.dot_general(xf, tri, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    sums = pref[:, -1]
+    base = _prefix_sum_f32(sums) - sums          # exclusive row bases
+    return (pref + base[:, None]).reshape(-1)[:n]
+
+
 def _run_lookup(offsets, size):
     """offsets (N+1,) exclusive-cumsum run starts → (size,) run-id per slot.
 
     Slot i belongs to run g iff offsets[g] ≤ i < offsets[g+1]; zero-length
-    runs are skipped by the repeated-marker cumsum.
+    runs are skipped by the repeated-marker cumsum.  The size-long prefix
+    sum runs as MXU triangular matmuls in fp32 — exact while the run count
+    stays < 2²⁴ (the 33.5M-pair Visits limit is far below it).
     """
     n = offsets.shape[0] - 1
     marker = jnp.zeros((size,), jnp.int32)
     # offsets are an inclusive-prefix (non-decreasing) — tell the scatter
     marker = marker.at[offsets[:n]].add(1, mode="drop",
                                         indices_are_sorted=True)
-    return jnp.cumsum(marker) - 1
+    return _prefix_sum_f32(marker.astype(jnp.float32)).astype(jnp.int32) - 1
 
 
 def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
@@ -270,10 +293,15 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
         # into depth order, and expand with 2 gathers; integer div/mod (no
         # TPU hardware) becomes an fp32 divide (+0.5 nudge keeps floor
         # exact for rank < n_per_g ≤ ~2¹¹ ≪ 2²³).
-        order = jnp.argsort(jnp.where(valid, proj.depth, jnp.inf))
         base = y0 * ntx + x0
         meta = ((base << (w_bits + np_bits)) | (w << np_bits) | n_per_g)
-        meta_o = meta[order]
+        # ONE multi-payload sort replaces argsort + a G-sized permutation
+        # gather of meta (~12 ms at 2.6M): payload columns through lax.sort
+        # are nearly free (tools/gather_probe.py), random-index gathers are
+        # not
+        _, meta_o, order = jax.lax.sort(
+            (jnp.where(valid, proj.depth, jnp.inf).astype(jnp.float32),
+             meta, jnp.arange(g, dtype=jnp.int32)), num_keys=1)
         # n_per_g rides inside meta — recover the permuted counts by masking
         # meta_o instead of a second G-sized permutation gather (~12 ms at
         # 2.6M, tools/gather_probe.py)
@@ -406,9 +434,11 @@ def build_pairs(proj: Projected, ntx, nty, pair_budget, extra_valid=None):
     # and re-prefixed.
     surv = jnp.minimum(offsets, p1)
     if order is not None:
-        # `order` is a full permutation — unique by construction
-        counts_orig = jnp.zeros((g,), jnp.int32).at[order].set(
-            surv[1:] - surv[:g], unique_indices=True)
+        # rank-space counts → original order: `order` is a permutation, so
+        # sorting (order, counts) by key IS the inverse permutation — a
+        # payload sort (~6 ms) instead of a G-sized scatter (~11 ms)
+        _, counts_orig = jax.lax.sort((order, surv[1:] - surv[:g]),
+                                      num_keys=1)
         bounds_bwd = jnp.concatenate([
             jnp.zeros((1,), jnp.int32),
             jnp.cumsum(counts_orig)]).astype(jnp.int32)
