@@ -107,19 +107,22 @@ def main():
     temb61 = jax.random.normal(jax.random.key(7), (1, 6, cfg.dim),
                                jnp.float32)
 
-    def loss(lora, x):
+    def loss(lora, params, x):
+        # params ride as an ARGUMENT: a closure constant would bake the
+        # 5.6 GB broadcast stack into the program and ship it through the
+        # remote compiler
         @jax.checkpoint
         def body(c, xs):
             p, lp = xs
             return wan_dit.block_apply(merge_fn(p, lp), c, text1, temb61,
                                        cfg, rope), None
-        out, _ = jax.lax.scan(body, x, (stacked, lora))
+        out, _ = jax.lax.scan(body, x, (params, lora))
         return jnp.sum(out.astype(jnp.float32))
 
-    g = jax.jit(lambda lora, x: sum(
+    g = jax.jit(lambda lora, params, x: sum(
         jnp.sum(v.astype(jnp.float32) ** 2)
-        for v in jax.tree_util.tree_leaves(jax.grad(loss)(lora, x))))
-    dt = _time(g, lora1, x1, rtt=rtt)
+        for v in jax.tree_util.tree_leaves(jax.grad(loss)(lora, params, x))))
+    dt = _time(g, lora1, stacked, x1, rtt=rtt)
     bwd_b1 = dt / TRIPS * 1e3
     print(json.dumps({"probe": "block_fwdbwd_lora_b1",
                       "ms_per_block": round(bwd_b1, 3)}), flush=True)

@@ -112,10 +112,14 @@ def conv2d(params, x, *, stride=1, padding=0, channels_last=False):
         lay = ("NHWC", "HWIO", "NHWC") if channels_last else \
             ("NCHW", "HWIO", "NCHW")
         dn = lax.conv_dimension_numbers(x.shape, k.shape, lay)
+        # fp32-preferred output only for fp32 inputs: with bf16 operands the
+        # conv TRANSPOSE meets an fp32 cotangent against the bf16 kernel
+        # and fails to trace; the MXU accumulates fp32 either way
+        pet = jnp.float32 if x.dtype == jnp.float32 else None
         out = lax.conv_general_dilated(
             x, k, (stride, stride), [(padding, padding)] * 2,
             dimension_numbers=dn, precision=_P,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         ).astype(x.dtype)
     if "bias" in params:
         b = params["bias"].astype(x.dtype)

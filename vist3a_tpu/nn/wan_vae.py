@@ -105,10 +105,15 @@ def causal_conv3d(params, x, *, stride=(1, 1, 1), pad=(1, 1, 1)):
     pt, ph, pw = pad
     if pt or ph or pw:
         x = jnp.pad(x, ((0, 0), (2 * pt, 0), (ph, ph), (pw, pw), (0, 0)))
+    # preferred_element_type only for fp32 operands: with bf16 operands the
+    # fp32-preferred conv's TRANSPOSE meets an fp32 cotangent against the
+    # bf16 kernel and fails to trace, while the MXU accumulates fp32 either
+    # way (bf16 output = same single rounding the astype below applies)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None
     out = lax.conv_general_dilated(
         x, kern, stride, "VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        precision=_prec(x), preferred_element_type=jnp.float32,
+        precision=_prec(x), preferred_element_type=pet,
     ).astype(x.dtype)
     return out + params["bias"].astype(x.dtype)
 
@@ -127,10 +132,11 @@ def conv2d_frames(params, x, *, stride=1, pad=((1, 1), (1, 1))):
     """Per-frame 2D conv on (B,T,H,W,C) — fold T into batch."""
     b, t, h, w, c = x.shape
     kern = params["kernel"].astype(x.dtype)
+    pet = jnp.float32 if x.dtype == jnp.float32 else None  # see causal_conv3d
     out = lax.conv_general_dilated(
         x.reshape(b * t, h, w, c), kern, (stride, stride), list(pad),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=_prec(x), preferred_element_type=jnp.float32,
+        precision=_prec(x), preferred_element_type=pet,
     ).astype(x.dtype)
     out = out + params["bias"].astype(x.dtype)
     return out.reshape(b, t, *out.shape[1:])

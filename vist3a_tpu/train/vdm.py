@@ -299,7 +299,15 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
                               flow_shift=cfg.flow_shift,
                               lora_blocks=lora, merge_fn=merge_fn)
                 lat_un = wan_vae.unnormalize_latents(lat)
-                decoded = wan_vae.decode(vae_params, lat_un, vae_cfg, remat=True)
+                # reward-path decode runs bf16 ACTIVATIONS (weights fp32):
+                # the reference's reward branch executes under autocast bf16
+                # (`train_vdm.py:566-637`), and the fp32 decode at 13×512p
+                # holds several (13,512,512,96) 2 GB buffers live through
+                # fwd+bwd — measured 26.5 GiB/chip in the AOT deployment
+                # gate vs 15.75 available
+                decoded = wan_vae.decode(
+                    vae_params, lat_un.astype(jnp.bfloat16), vae_cfg,
+                    remat=True).astype(jnp.float32)
                 reward_loss, pair = calculate_reward(
                     k_reward, lat_un, decoded, stitched_params, scfg,
                     reward_loss_fn, render_size=render_size,
