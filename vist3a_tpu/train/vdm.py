@@ -269,8 +269,15 @@ def _vdm_step_jit(dit_cfg, vae_cfg, scfg, cfg: VDMTrainConfig,
             guidance, k_vae, k_flow, k_noise, k_reward):
         from vist3a_tpu.train.reward import calculate_reward
 
-        # frozen VAE encode of the SFT clip (posterior sample, normalized)
-        mu, logvar = wan_vae.encode(vae_params, video, vae_cfg, remat=True)
+        # frozen VAE encode of the SFT clip (posterior sample, normalized).
+        # bf16 ACTIVATIONS over fp32 weights: the reference encodes inside
+        # the autocast-bf16 training step (`train_vdm.py:541-563`), and the
+        # fp32 encode at 13×512p holds 2 GB (13,512,512,96) stage buffers —
+        # the deployed AOT gate measured 17.9 GiB/chip with it fp32
+        mu, logvar = wan_vae.encode(vae_params,
+                                    video.astype(jnp.bfloat16), vae_cfg,
+                                    remat=True)
+        mu, logvar = mu.astype(jnp.float32), logvar.astype(jnp.float32)
         z0 = wan_vae.sample_posterior(k_vae, mu, logvar)
         z0 = wan_vae.normalize_latents(jax.lax.stop_gradient(z0))
         z_sigma, ts, target = flow_match.make_flow_batch(k_flow, z0)
