@@ -147,12 +147,19 @@ def rms_norm_init(dim, dtype=jnp.float32):
 
 
 def rms_norm(params, x, eps: float = 1e-12):
-    """torch `F.normalize(x, dim=C) * √dim * gamma` (`wan_utils.py:178-184`);
-    fp32 accumulation."""
+    """torch `F.normalize(x, dim=C) * √dim * gamma` (`wan_utils.py:178-184`).
+
+    The norm reduction is always fp32; the elementwise rescale runs in the
+    INPUT dtype (one reciprocal-rounding ulp vs the previous all-fp32 form
+    for fp32 inputs), so the bf16 RL-branch VAE (autocast parity) avoids
+    materializing fp32 (13,512,512,96) intermediates in the decode backward
+    (1.2-2 GB each — the last 2.1 GiB of the deployed AOT gate's
+    overshoot).  torch under autocast computes F.normalize in bf16 the
+    same way."""
     xf = x.astype(jnp.float32)
     norm = jnp.linalg.norm(xf, axis=-1, keepdims=True)
-    y = xf / jnp.maximum(norm, eps) * np.sqrt(x.shape[-1])
-    return (y * params["gamma"].astype(jnp.float32)).astype(x.dtype)
+    scale = (np.sqrt(x.shape[-1]) / jnp.maximum(norm, eps)).astype(x.dtype)
+    return x * scale * params["gamma"].astype(x.dtype)
 
 
 def _nearest2x(x):

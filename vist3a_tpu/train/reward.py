@@ -152,6 +152,12 @@ def calculate_reward(key: jax.Array, gen_latents: jnp.ndarray,
     if reward_params:
         tkw["pick_params"] = reward_params["pick"]
         tkw["pe_params"] = reward_params["pe"]
+    if pair_budget is None:
+        # the reward-path setting is the 1×G budget (PARITY: graceful
+        # depth-ordered degradation, val loss within 0.06%); the
+        # rasterizer's own default (4×G) triples the pair-stream buffers in
+        # the deployed RL step's HBM plan
+        pair_budget = scfg.latent_t * render_size * render_size
     k_views, k_frame = jax.random.split(key)
     t_pix = video.shape[2]
     feedforward = ca.resize_align_corners_nd(
