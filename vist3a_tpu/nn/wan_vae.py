@@ -379,9 +379,19 @@ def decoder_apply(params, z, cfg: WanVAEConfig, *, remat=False):
         if "upsamplers" in blk:
             mode = ("upsample3d" if cfg.temperal_upsample[i] else "upsample2d")
             x = resample(blk["upsamplers"][0], x, mode)
-    x = jax.nn.silu(rms_norm(params["norm_out"], x))
-    x = causal_conv3d(params["conv_out"], x)
-    return jnp.clip(x, -1.0, 1.0)
+
+    def tail(pn, pc, x):
+        x = jax.nn.silu(rms_norm(pn, x))
+        x = causal_conv3d(pc, x)
+        return jnp.clip(x, -1.0, 1.0)
+
+    # the tail runs at the FINEST resolution (96ch × 8h×8w × full T): left
+    # un-remat'd it saves the silu/norm intermediates (1-2 GB at 13×512p)
+    # through the whole backward — the last overshoot of the deployed RL
+    # AOT gate
+    if remat:
+        tail = jax.checkpoint(tail)
+    return tail(params["norm_out"], params["conv_out"], x)
 
 
 # --------------------------------------------------------------------------- #
